@@ -1,0 +1,14 @@
+from avion_tpu.parallel.mesh import (
+    DATA_AXIS,
+    FSDP_AXIS,
+    TENSOR_AXIS,
+    BATCH_AXES,
+    make_mesh,
+    local_batch_slice,
+)
+from avion_tpu.parallel.sharding import (
+    batch_sharding,
+    replicated,
+    infer_param_sharding,
+    shard_params,
+)
