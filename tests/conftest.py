@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+# The axon sitecustomize force-registers the TPU backend regardless of
+# JAX_PLATFORMS in the environment; override at the config level.
+jax.config.update("jax_platforms", "cpu")
+
 
 @pytest.fixture(scope="session")
 def mesh8():
