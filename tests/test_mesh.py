@@ -36,7 +36,7 @@ def test_param_sharding_fsdp(mesh8):
     }
     sh = infer_param_sharding(params, mesh8)
     kernel_spec = sh["blocks_0"]["mlp"]["fc1"]["kernel"].spec
-    assert "fsdp" in jax.tree_util.tree_leaves(kernel_spec)
+    assert "fsdp" in tuple(kernel_spec)
     assert sh["blocks_0"]["mlp"]["fc1"]["bias"].spec == P()
     assert sh["logit_scale"].spec == P()
     sharded = shard_params(params, mesh8)
