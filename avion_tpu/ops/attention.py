@@ -1,0 +1,59 @@
+"""Attention dispatch: Pallas flash kernel on TPU, XLA math elsewhere.
+
+The XLA path is also the numerics reference for kernel tests.
+Layout everywhere is BSHD: [batch, seq, heads, head_dim].
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from avion_tpu.ops.flash_attention import flash_attention
+
+
+def xla_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+) -> jax.Array:
+    b, s, h, d = q.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * sm_scale
+    if causal:
+        mask = jnp.tril(jnp.ones((s, s), jnp.bool_))
+        logits = jnp.where(mask[None, None], logits, -1e30)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    return out.astype(q.dtype)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    use_flash: bool = True,
+) -> jax.Array:
+    """Multi-head attention over BSHD tensors."""
+    if use_flash and _on_tpu():
+        return flash_attention(q, k, v, causal=causal, sm_scale=sm_scale)
+    return xla_attention(q, k, v, causal=causal, sm_scale=sm_scale)

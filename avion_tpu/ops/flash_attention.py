@@ -1,0 +1,303 @@
+"""Pallas TPU flash attention (forward + backward).
+
+TPU-native replacement for the reference's CUDA flash-attn dependency
+(FlashMHA consumed at ``avion/models/transformer.py:116-120`` and
+``avion/models/model_videomae.py:116``).  Design notes:
+
+- Never materializes the S x S attention matrix in HBM.  Each grid
+  program holds the full K/V for one (batch*head) in VMEM — ViT video
+  sequences are ~800 tokens and text is 77, so K/V (S x 64, bf16) is a
+  few hundred KB, far under the ~16MB VMEM budget; scores live only as
+  a [block_q, S] f32 VMEM tile.  This "one-pass row-block" shape beats
+  a literal FlashAttention tiling translation on TPU: one big MXU
+  matmul per q-block instead of a scalar-carried online-softmax loop.
+- f32 softmax and accumulation, bf16 matmul inputs (MXU native).
+- Backward recomputes probabilities from the saved logsumexp, with
+  separate dq and dkv kernels so each output has a single writer
+  (no cross-program accumulation).
+- Sequence lengths are padded to the q/k block multiple; padded key
+  columns are masked to -inf, padded query rows are sliced off.
+
+Supports the two patterns the models need: bidirectional (ViT) and
+causal (text transformer, ``avion/models/transformer.py:447-453``).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -1e30
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale, causal,
+                seq_len, block_q):
+    # q_ref: [block_q, D]; k_ref/v_ref: [S_pad, D]; o_ref: [block_q, D]
+    # lse_ref: [block_q, 128] (lane-padded; col 0 meaningful)
+    qi = pl.program_id(1)
+    q = q_ref[:].astype(jnp.float32) * sm_scale
+    k = k_ref[:].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [block_q, S_pad]
+    s_pad = k_ref.shape[0]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, s_pad), 1)
+    mask = col < seq_len
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, s_pad), 0)
+        mask = jnp.logical_and(mask, col <= row + qi * block_q)
+    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    lse = m + jnp.log(l)
+    lse_ref[:] = jnp.broadcast_to(lse, lse_ref.shape)
+
+    v = v_ref[:].astype(jnp.float32)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) / l
+    o_ref[:] = o.astype(o_ref.dtype)
+
+
+def _fwd(q, k, v, sm_scale, causal, block_q, interpret):
+    bh, s, d = q.shape
+    s_pad_q = _ceil_to(s, block_q)
+    s_pad_k = _ceil_to(s, 128)
+    qp = jnp.pad(q, ((0, 0), (0, s_pad_q - s), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, s_pad_k - s), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, s_pad_k - s), (0, 0)))
+    grid = (bh, s_pad_q // block_q)
+
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, sm_scale=sm_scale, causal=causal, seq_len=s,
+            block_q=block_q,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, s_pad_k, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, s_pad_k, d), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, block_q, 128), lambda b, i: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s_pad_q, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, s_pad_q, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :s], lse[:, :s, 0]
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
+                   sm_scale, causal, seq_len, block_q):
+    qi = pl.program_id(1)
+    q = q_ref[:].astype(jnp.float32) * sm_scale
+    k = k_ref[:].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s_pad = k_ref.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, s_pad), 1)
+    mask = col < seq_len
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, s_pad), 0)
+        mask = jnp.logical_and(mask, col <= row + qi * block_q)
+    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+    lse = lse_ref[:, 0:1]
+    p = jnp.exp(s - lse)  # [block_q, S_pad]
+    do = do_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [block_q, S_pad]
+    delta = delta_ref[:, 0:1]
+    ds = p * (dp - delta)
+    dq = jax.lax.dot_general(
+        ds, k_ref[:].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
+    dq_ref[:] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, sm_scale, causal, seq_len, block_k):
+    ki = pl.program_id(1)
+    k = k_ref[:].astype(jnp.float32)
+    q = q_ref[:].astype(jnp.float32)
+    # scores^T : [block_k, S_pad_q]
+    st = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale
+    s_pad_q = q_ref.shape[0]
+    qcol = jax.lax.broadcasted_iota(jnp.int32, (block_k, s_pad_q), 1)
+    krow = jax.lax.broadcasted_iota(jnp.int32, (block_k, s_pad_q), 0)
+    mask = qcol < seq_len
+    kabs = krow + ki * block_k
+    mask = jnp.logical_and(mask, kabs < seq_len)
+    if causal:
+        mask = jnp.logical_and(mask, kabs <= qcol)
+    lse = lse_ref[0:1, :]  # [1, S_pad_q] (row layout, no in-kernel transpose)
+    pt = jnp.where(mask, jnp.exp(st - lse), 0.0)
+    do = do_ref[:].astype(jnp.float32)
+    dv = jax.lax.dot_general(
+        pt, do, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+    v = v_ref[:].astype(jnp.float32)
+    dpt = jax.lax.dot_general(
+        v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [block_k, S_pad_q]
+    delta = delta_ref[0:1, :]
+    dst = pt * (dpt - delta)
+    dk = jax.lax.dot_general(
+        dst, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+
+
+def _bwd(sm_scale, causal, block_q, interpret, res, g):
+    q, k, v, out, lse = res
+    do = g
+    bh, s, d = q.shape
+    block_k = block_q
+    s_pad_q = _ceil_to(s, block_q)
+    s_pad_k = _ceil_to(s, block_k)
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+
+    qp = jnp.pad(q, ((0, 0), (0, s_pad_q - s), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, s_pad_k - s), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, s_pad_k - s), (0, 0)))
+    dop = jnp.pad(do, ((0, 0), (0, s_pad_q - s), (0, 0)))
+    # lane-pad lse/delta to 128 cols
+    lsep = jnp.pad(lse, ((0, 0), (0, s_pad_q - s)))[..., None]
+    lsep = jnp.broadcast_to(lsep, (bh, s_pad_q, 128))
+    # guard padded-row lse: exp(s - lse) with lse=0 on padded rows is fine
+    # because those rows produce dq rows we slice off, and in the dkv
+    # kernel padded q columns are masked out of pt.
+    dlt = jnp.pad(delta, ((0, 0), (0, s_pad_q - s)))[..., None]
+    dlt = jnp.broadcast_to(dlt, (bh, s_pad_q, 128))
+    # row layouts for the dkv kernel (q positions along lanes)
+    lse_row = jnp.broadcast_to(
+        jnp.pad(lse, ((0, 0), (0, s_pad_q - s)))[:, None, :], (bh, 8, s_pad_q)
+    )
+    dlt_row = jnp.broadcast_to(
+        jnp.pad(delta, ((0, 0), (0, s_pad_q - s)))[:, None, :], (bh, 8, s_pad_q)
+    )
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, causal=causal,
+                          seq_len=s, block_q=block_q),
+        grid=(bh, s_pad_q // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, s_pad_k, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, s_pad_k, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, block_q, 128), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, block_q, 128), lambda b, i: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, s_pad_q, d), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, dlt)[:, :s]
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
+                          seq_len=s, block_k=block_k),
+        grid=(bh, s_pad_k // block_k),
+        in_specs=[
+            pl.BlockSpec((None, s_pad_q, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, block_k, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, block_k, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, s_pad_q, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, 8, s_pad_q), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, 8, s_pad_q), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_k, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, block_k, d), lambda b, i: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s_pad_k, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, s_pad_k, d), v.dtype),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse_row, dlt_row)
+    return dq, dk[:, :s], dv[:, :s]
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_bhsd(q, k, v, sm_scale, causal, block_q, interpret):
+    out, _ = _fwd(q, k, v, sm_scale, causal, block_q, interpret)
+    return out
+
+
+def _flash_fwd_rule(q, k, v, sm_scale, causal, block_q, interpret):
+    out, lse = _fwd(q, k, v, sm_scale, causal, block_q, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_bwd_rule(sm_scale, causal, block_q, interpret, res, g):
+    return _bwd(sm_scale, causal, block_q, interpret, res, g)
+
+
+_flash_bhsd.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    block_q: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention over [B, S, H, D] tensors (BSHD layout).
+
+    Returns [B, S, H, D] in the dtype of ``q``.
+    """
+    b, s, h, d = q.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    # fold batch/head; kernels operate on [B*H, S, D]
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+
+    out = _flash_bhsd(fold(q), fold(k), fold(v), sm_scale, causal, block_q,
+                      interpret)
+    return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)
