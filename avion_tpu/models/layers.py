@@ -1,0 +1,187 @@
+"""Shared transformer building blocks (flax.linen).
+
+Re-designed from the reference's open_clip-derived blocks
+(``avion/models/transformer.py``): fused QKV projection (the layout the
+flash kernel wants — mirroring flash-attn's Wqkv fusion that the
+reference's checkpoint remap performs at ``avion/models/utils.py:15-98``),
+f32 LayerNorm under bf16 compute (``transformer.py:26-41``), LayerScale
+(``transformer.py:44-51``), PatchDropout (``transformer.py:54-91``),
+DropPath, and per-block gradient rematerialization
+(``transformer.py:187-188`` → ``jax.checkpoint``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from avion_tpu.ops.attention import attention
+
+
+def quick_gelu(x):
+    # OpenAI CLIP's activation; the reference defines it but never wires
+    # it in (SURVEY quirk). We honor use_quick_gelu explicitly.
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with f32 reductions regardless of input dtype."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(
+            epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32,
+            name="norm",
+        )(x.astype(jnp.float32))
+        return y.astype(self.dtype)
+
+
+class LayerScale(nn.Module):
+    init_value: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param(
+            "gamma", nn.initializers.constant(self.init_value), (x.shape[-1],),
+            jnp.float32,
+        )
+        return x * gamma.astype(x.dtype)
+
+
+class DropPath(nn.Module):
+    """Stochastic depth (per-sample residual drop)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def patch_dropout(x, rng, prob: float, keep_cls: bool = True):
+    """Randomly keep a fraction of tokens (reference ``PatchDropout``,
+    ``transformer.py:54-91``).  Keeps a fixed count (static shape) so the
+    result stays jit-friendly; token choice varies per batch element."""
+    if prob == 0.0:
+        return x
+    b, s, _ = x.shape
+    start = 1 if keep_cls else 0
+    n_keep = max(1, int((s - start) * (1.0 - prob)))
+    noise = jax.random.uniform(rng, (b, s - start))
+    idx = jnp.argsort(noise, axis=-1)[:, :n_keep]  # random subset, unordered
+    tokens = jnp.take_along_axis(x[:, start:], idx[..., None], axis=1)
+    if keep_cls:
+        tokens = jnp.concatenate([x[:, :1], tokens], axis=1)
+    return tokens
+
+
+class Mlp(nn.Module):
+    width: int
+    hidden_mult: float = 4.0
+    act: Callable = nn.gelu
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = int(self.width * self.hidden_mult)
+        x = nn.Dense(hidden, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc1")(x)
+        x = self.act(x)
+        x = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc2")(x)
+        return x
+
+
+class SelfAttention(nn.Module):
+    width: int
+    heads: int
+    dtype: Any = jnp.bfloat16
+    use_flash: bool = True
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        b, s, _ = x.shape
+        head_dim = self.width // self.heads
+        qkv = nn.Dense(3 * self.width, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="qkv")(x)
+        qkv = qkv.reshape(b, s, 3, self.heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        o = attention(q, k, v, causal=self.causal, use_flash=self.use_flash)
+        o = o.reshape(b, s, self.width)
+        return nn.Dense(self.width, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="out_proj")(o)
+
+
+class Block(nn.Module):
+    """Pre-LN residual attention block (``transformer.py:94-150``)."""
+
+    width: int
+    heads: int
+    mlp_ratio: float = 4.0
+    act: Callable = nn.gelu
+    dtype: Any = jnp.bfloat16
+    use_flash: bool = True
+    causal: bool = False
+    ls_init_value: Optional[float] = None
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        y = LayerNorm(dtype=self.dtype, name="ln_1")(x)
+        y = SelfAttention(self.width, self.heads, self.dtype,
+                          self.use_flash, self.causal, name="attn")(y)
+        if self.ls_init_value is not None:
+            y = LayerScale(self.ls_init_value, name="ls_1")(y)
+        y = DropPath(self.drop_path, name="dp_1")(y, deterministic)
+        x = x + y
+        y = LayerNorm(dtype=self.dtype, name="ln_2")(x)
+        y = Mlp(self.width, self.mlp_ratio, self.act, self.dtype,
+                name="mlp")(y)
+        if self.ls_init_value is not None:
+            y = LayerScale(self.ls_init_value, name="ls_2")(y)
+        y = DropPath(self.drop_path, name="dp_2")(y, deterministic)
+        return x + y
+
+
+class Transformer(nn.Module):
+    """Stack of Blocks with optional per-block remat
+    (reference grad checkpointing, ``transformer.py:153-191``)."""
+
+    width: int
+    layers: int
+    heads: int
+    mlp_ratio: float = 4.0
+    act: Callable = nn.gelu
+    dtype: Any = jnp.bfloat16
+    use_flash: bool = True
+    causal: bool = False
+    ls_init_value: Optional[float] = None
+    drop_path_rate: float = 0.0
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        block_cls = Block
+        if self.remat:
+            block_cls = nn.remat(Block, static_argnums=(2,))
+        for i in range(self.layers):
+            dp = self.drop_path_rate * i / max(1, self.layers - 1)
+            blk = block_cls(
+                self.width, self.heads, self.mlp_ratio, self.act, self.dtype,
+                self.use_flash, self.causal, self.ls_init_value, dp,
+                name=f"resblocks_{i}",
+            )
+            x = blk(x, deterministic) if not self.remat else blk(x, deterministic)
+        return x

@@ -1,0 +1,149 @@
+"""Model registry: name -> factory.
+
+Replaces the reference's ``getattr(model_clip, args.model)`` lookup
+(``scripts/main_lavila_pretrain.py:265``) with an explicit registry.
+Factory names and hyperparameters match the reference factories
+(``avion/models/model_clip.py:102-341``, ``model_videomae.py:583-604``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_model(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def list_models():
+    return sorted(_REGISTRY)
+
+
+def create_model(name: str, **kwargs):
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown model {name!r}; available: {list_models()}")
+    return _REGISTRY[name](**kwargs)
+
+
+def _clip_factory(
+    *,
+    patch_size,
+    vision_width,
+    vision_layers,
+    vision_heads,
+    image_size=224,
+    text_width=512,
+    text_heads=8,
+    text_layers=12,
+):
+    def build(
+        num_frames: int = 16,
+        project_embed_dim: int = 512,
+        use_quick_gelu: bool = True,
+        use_flash_attn: bool = True,
+        use_grad_checkpointing: bool = False,
+        patch_dropout: float = 0.0,
+        pooling: str = "cls",
+        freeze_temperature: bool = False,
+        temperature_init: float = 0.07,
+        dtype=None,
+        **_unused,
+    ):
+        import jax.numpy as jnp
+
+        from avion_tpu.models.clip import CLIP
+
+        return CLIP(
+            embed_dim=project_embed_dim,
+            image_size=image_size,
+            patch_size=patch_size,
+            num_frames=num_frames,
+            vision_width=vision_width,
+            vision_layers=vision_layers,
+            vision_heads=vision_heads,
+            text_width=text_width,
+            text_heads=text_heads,
+            text_layers=text_layers,
+            use_quick_gelu=use_quick_gelu,
+            use_flash=use_flash_attn,
+            pooling=pooling,
+            patch_dropout_rate=patch_dropout,
+            remat=use_grad_checkpointing,
+            freeze_temperature=freeze_temperature,
+            temperature_init=temperature_init,
+            dtype=dtype if dtype is not None else jnp.bfloat16,
+        )
+
+    return build
+
+
+# hyperparameters per avion/models/model_clip.py:102-341
+register_model("CLIP_VITB16")(
+    _clip_factory(patch_size=16, vision_width=768, vision_layers=12,
+                  vision_heads=12)
+)
+register_model("CLIP_VITL14")(
+    _clip_factory(patch_size=14, vision_width=1024, vision_layers=24,
+                  vision_heads=16, text_width=768, text_heads=12,
+                  text_layers=12)
+)
+register_model("CLIP_VITL14_336PX")(
+    _clip_factory(patch_size=14, vision_width=1024, vision_layers=24,
+                  vision_heads=16, image_size=336, text_width=768,
+                  text_heads=12, text_layers=12)
+)
+
+
+@register_model("VIDEOMAE_VITB16")
+def _videomae_vitb16(
+    num_frames: int = 16,
+    use_flash_attn: bool = True,
+    use_grad_checkpointing: bool = False,
+    decoder_depth: int = 4,
+    drop_path_rate: float = 0.0,
+    dtype=None,
+    **_unused,
+):
+    import jax.numpy as jnp
+
+    from avion_tpu.models.videomae import PretrainVideoMAE
+
+    return PretrainVideoMAE(
+        image_size=224, patch_size=16, num_frames=num_frames,
+        encoder_width=768, encoder_layers=12, encoder_heads=12,
+        decoder_width=384, decoder_layers=decoder_depth, decoder_heads=6,
+        tubelet_size=2, use_flash=use_flash_attn,
+        remat=use_grad_checkpointing, drop_path_rate=drop_path_rate,
+        dtype=dtype if dtype is not None else jnp.bfloat16,
+    )
+
+
+@register_model("VIDEOMAE_VITB16_FT")
+def _videomae_vitb16_ft(
+    num_frames: int = 16,
+    num_classes: int = 400,
+    use_flash_attn: bool = True,
+    use_grad_checkpointing: bool = False,
+    drop_path_rate: float = 0.1,
+    fc_drop_rate: float = 0.0,
+    dtype=None,
+    **_unused,
+):
+    import jax.numpy as jnp
+
+    from avion_tpu.models.videomae import FinetuneVideoMAE
+
+    return FinetuneVideoMAE(
+        image_size=224, patch_size=16, num_frames=num_frames,
+        width=768, layers=12, heads=12, num_classes=num_classes,
+        tubelet_size=2, use_flash=use_flash_attn,
+        remat=use_grad_checkpointing, drop_path_rate=drop_path_rate,
+        fc_drop_rate=fc_drop_rate,
+        dtype=dtype if dtype is not None else jnp.bfloat16,
+    )

@@ -1,0 +1,119 @@
+"""Video Vision Transformer (flax.linen).
+
+Re-design of the reference's open_clip-derived ``VisionTransformer``
+(``avion/models/transformer.py:194-377``), TPU-first:
+
+- Patchify is an einops rearrange + Dense ("fast conv1",
+  ``transformer.py:310-329``) — on TPU this is the *only* sensible
+  formulation: one big MXU matmul, channel-last throughout, no conv at
+  all.  Input layout is THWC (what the decode pipeline produces),
+  never permuted to CTHW.
+- Factorized positional embeddings: spatial (per patch, shared across
+  frames) + temporal (per frame, shared across patches), matching
+  ``transformer.py:324-329`` so reference checkpoints load exactly.
+- CLS-or-GAP pooling (``transformer.py:368-371``).
+- PatchDropout (``transformer.py:54-91``) as a static-shape random
+  token subset.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from avion_tpu.models.layers import (
+    LayerNorm,
+    Transformer,
+    patch_dropout,
+    quick_gelu,
+)
+
+
+class VisionTransformer(nn.Module):
+    image_size: int = 224
+    patch_size: int = 16
+    num_frames: int = 16
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_ratio: float = 4.0
+    output_dim: Optional[int] = 512
+    act: Callable = nn.gelu
+    dtype: Any = jnp.bfloat16
+    use_flash: bool = True
+    pooling: str = "cls"  # cls | gap | none (tokens out, for MIR features)
+    patch_dropout_rate: float = 0.0
+    ls_init_value: Optional[float] = None
+    drop_path_rate: float = 0.0
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        """x: [B, T, H, W, C] float (already normalized). Returns [B, output_dim]
+        (or [B, S, width] with pooling='none')."""
+        b, t, h, w, c = x.shape
+        p = self.patch_size
+        gh, gw = h // p, w // p
+        n = gh * gw
+        x = x.astype(self.dtype)
+
+        # fast patchify: [B,T,gh,p,gw,p,C] -> [B, T, gh*gw, p*p*C] -> Dense
+        x = x.reshape(b, t, gh, p, gw, p, c)
+        x = x.transpose(0, 1, 2, 4, 3, 5, 6)
+        x = x.reshape(b, t, n, p * p * c)
+        x = nn.Dense(self.width, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="conv1")(x)
+
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(self.width ** -0.5), (n + 1, self.width),
+            jnp.float32,
+        )
+        x = x + pos[1:].astype(self.dtype)[None, None]
+        if t > 1 or self.num_frames > 1:
+            tpos = self.param(
+                "temporal_embedding",
+                nn.initializers.normal(self.width ** -0.5),
+                (self.num_frames, self.width), jnp.float32,
+            )
+            x = x + tpos[:t].astype(self.dtype)[None, :, None]
+        x = x.reshape(b, t * n, self.width)
+
+        cls = self.param(
+            "class_embedding", nn.initializers.normal(self.width ** -0.5),
+            (self.width,), jnp.float32,
+        )
+        cls_tok = (cls + pos[0]).astype(self.dtype)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_tok, (b, 1, self.width)), x], axis=1
+        )
+
+        if self.patch_dropout_rate > 0.0 and not deterministic:
+            x = patch_dropout(
+                x, self.make_rng("patch_dropout"), self.patch_dropout_rate
+            )
+
+        x = LayerNorm(dtype=self.dtype, name="ln_pre")(x)
+        x = Transformer(
+            self.width, self.layers, self.heads, self.mlp_ratio, self.act,
+            self.dtype, self.use_flash, False, self.ls_init_value,
+            self.drop_path_rate, self.remat, name="transformer",
+        )(x, deterministic)
+
+        if self.pooling == "none":
+            return LayerNorm(dtype=self.dtype, name="ln_post")(x)
+        if self.pooling == "gap":
+            pooled = x.mean(axis=1)
+        else:
+            pooled = x[:, 0]
+        pooled = LayerNorm(dtype=self.dtype, name="ln_post")(pooled)
+        if self.output_dim is not None:
+            proj = self.param(
+                "proj", nn.initializers.normal(self.width ** -0.5),
+                (self.width, self.output_dim), jnp.float32,
+            )
+            pooled = pooled @ proj.astype(pooled.dtype)
+        return pooled

@@ -1,0 +1,96 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avion_tpu.models import create_model, list_models
+from avion_tpu.models.videomae import PretrainVideoMAE
+
+
+def test_registry_lists_families():
+    names = list_models()
+    for n in ("CLIP_VITB16", "CLIP_VITL14", "CLIP_VITL14_336PX",
+              "VIDEOMAE_VITB16", "VIDEOMAE_VITB16_FT"):
+        assert n in names
+
+
+@pytest.fixture(scope="module")
+def tiny_clip():
+    # shrunken dims for CPU test speed; same module code path
+    from avion_tpu.models.clip import CLIP
+
+    model = CLIP(
+        embed_dim=32, image_size=32, patch_size=16, num_frames=4,
+        vision_width=64, vision_layers=2, vision_heads=2,
+        context_length=13, vocab_size=128, text_width=32, text_heads=2,
+        text_layers=2, use_flash=False, dtype=jnp.float32,
+    )
+    rng = jax.random.PRNGKey(0)
+    video = jnp.zeros((2, 4, 32, 32, 3))
+    text = jnp.zeros((2, 13), jnp.int32).at[:, 3].set(127)
+    params = model.init(rng, video, text)
+    return model, params, video, text
+
+
+def test_clip_forward_shapes(tiny_clip):
+    model, params, video, text = tiny_clip
+    out = model.apply(params, video, text)
+    assert out["image_embed"].shape == (2, 32)
+    assert out["text_embed"].shape == (2, 32)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out["image_embed"]), axis=-1), 1.0,
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(out["logit_scale"]), 1 / 0.07, rtol=1e-5
+    )
+
+
+def test_clip_param_names_match_sharding_conventions(tiny_clip):
+    _, params, _, _ = tiny_clip
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    names = {"/".join(str(getattr(k, "key", k)) for k in p) for p, _ in flat}
+    assert any("qkv" in n for n in names)
+    assert any("fc1" in n for n in names)
+    assert any("out_proj" in n for n in names)
+    assert any("logit_scale" in n for n in names)
+
+
+def test_videomae_pretrain_shapes():
+    model = PretrainVideoMAE(
+        image_size=32, patch_size=16, num_frames=4, tubelet_size=2,
+        encoder_width=48, encoder_layers=1, encoder_heads=2,
+        decoder_width=32, decoder_layers=1, decoder_heads=2,
+        mask_ratio=0.5, use_flash=False, dtype=jnp.float32,
+    )
+    n = model.num_patches  # 2 * 2*2 = 8
+    assert n == 8
+    n_vis = model.n_visible
+    rng = jax.random.PRNGKey(0)
+    video = jax.random.normal(rng, (2, 4, 32, 32, 3))
+    # per-row fixed masked count (tube masking invariant)
+    mask = np.zeros((2, n), bool)
+    mask[:, : n - n_vis] = True
+    mask = jnp.asarray(np.stack([np.random.permutation(m) for m in mask]))
+    params = model.init(rng, video, mask)
+    pred, masked_idx = model.apply(params, video, mask)
+    assert pred.shape == (2, n - n_vis, model.patch_dim)
+    # masked_idx rows point at masked positions
+    m = np.asarray(mask)
+    mi = np.asarray(masked_idx)
+    for b in range(2):
+        assert set(mi[b]) == set(np.nonzero(m[b])[0])
+
+
+def test_videomae_finetune_shapes():
+    from avion_tpu.models.videomae import FinetuneVideoMAE
+
+    model = FinetuneVideoMAE(
+        image_size=32, num_frames=4, width=48, layers=1, heads=2,
+        num_classes=10, use_flash=False, dtype=jnp.float32,
+    )
+    rng = jax.random.PRNGKey(0)
+    video = jnp.zeros((2, 4, 32, 32, 3))
+    params = model.init(rng, video)
+    logits = model.apply(params, video)
+    assert logits.shape == (2, 10)
