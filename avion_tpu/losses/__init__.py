@@ -1,0 +1,6 @@
+from avion_tpu.losses.losses import (
+    clip_loss,
+    max_margin_ranking_loss,
+    softmax_cross_entropy,
+    soft_target_cross_entropy,
+)

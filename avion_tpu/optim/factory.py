@@ -1,0 +1,137 @@
+"""Optimizer factory: AdamW / SGD / Lion with weight-decay masking and
+layer-wise LR decay.
+
+Maps the reference's optimizer setup:
+- param-group wd exclusion for biases/norms/embeddings
+  (``scripts/main_lavila_pretrain.py:296-320``) → optax wd mask tree;
+- Lion (``avion/optim/lion.py``) → ``optax.lion``;
+- ``LayerDecayValueAssigner`` (``avion/optim/layer_decay.py``) →
+  a per-param LR-scale pytree applied as a gradient transformation;
+- ZeRO-1 sharded optimizer state → nothing to do: optimizer state is a
+  pytree sharded like the params by the same sharding rules.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+_NO_WD_TOKENS = (
+    "bias", "norm", "ln_", "positional_embedding", "temporal_embedding",
+    "class_embedding", "logit_scale", "token_embedding", "mask_token",
+    "gamma", "fc_norm",
+)
+
+
+def _param_name(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path).lower()
+
+
+def wd_mask(params) -> Any:
+    """True where weight decay applies: ndim>=2 and not an excluded name."""
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for path, leaf in flat:
+        name = _param_name(path)
+        decay = jnp.ndim(leaf) >= 2 and not any(t in name for t in _NO_WD_TOKENS)
+        out.append(decay)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _block_id(name: str, num_layers: int) -> int:
+    """Depth id for layer-decay (``layer_decay.py:1-20``): embeddings are
+    depth 0, block i is depth i+1, head/norm params are depth
+    num_layers+1."""
+    m = re.search(r"resblocks_(\d+)", name)
+    if m:
+        return int(m.group(1)) + 1
+    if any(t in name for t in ("patch_embed", "conv1", "class_embedding",
+                               "positional_embedding", "temporal_embedding",
+                               "token_embedding")):
+        return 0
+    return num_layers + 1
+
+
+def layer_decay_scales(params, num_layers: int, decay: float) -> Any:
+    """Pytree of per-param LR multipliers decay^(num_layers+1-depth)."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for path, leaf in flat:
+        depth = _block_id(_param_name(path), num_layers)
+        out.append(decay ** (num_layers + 1 - depth))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def scale_by_tree(scales: Any) -> optax.GradientTransformation:
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        updates = jax.tree_util.tree_map(
+            lambda u, s: u * s, updates, scales
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def build_optimizer(
+    cfg,
+    params,
+    niter_per_ep: int,
+    num_layers: Optional[int] = None,
+) -> tuple[optax.GradientTransformation, Callable]:
+    """Build the optax chain from an OptimConfig. Returns (tx, lr_schedule)."""
+    from avion_tpu.optim.schedules import cosine_schedule
+
+    lr = cfg.lr
+    if cfg.lr_scale_by_batch:
+        # finetunes scale LR by total_batch / base (e.g. 128 or 256 —
+        # scripts/main_lavila_finetune_cls.py:367-370)
+        lr = cfg.lr  # caller pre-scales; kept for interface clarity
+
+    schedule = cosine_schedule(
+        lr, cfg.lr_end, cfg.epochs, niter_per_ep, cfg.warmup_epochs,
+        cfg.lr_start,
+    )
+    mask = wd_mask(params)
+
+    name = cfg.optimizer.lower()
+    if name == "adamw":
+        core = optax.adamw(
+            schedule, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
+            weight_decay=cfg.wd, mask=mask,
+        )
+    elif name == "sgd":
+        core = optax.chain(
+            optax.add_decayed_weights(cfg.wd, mask=mask),
+            optax.sgd(schedule, momentum=cfg.momentum),
+        )
+    elif name == "lion":
+        core = optax.lion(
+            schedule, b1=cfg.betas[0], b2=cfg.betas[1],
+            weight_decay=cfg.wd, mask=mask,
+        )
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
+    parts = []
+    if cfg.grad_clip_norm:
+        parts.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    parts.append(core)
+    if cfg.layer_decay and num_layers:
+        # scale the *final* update (post-Adam), matching per-group LR
+        parts.append(
+            scale_by_tree(layer_decay_scales(params, num_layers, cfg.layer_decay))
+        )
+    tx = optax.chain(*parts) if len(parts) > 1 else parts[0]
+    if cfg.update_freq > 1:
+        # correct gradient accumulation (the reference's accum path is
+        # broken/dead — main_lavila_pretrain.py:821-859)
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.update_freq)
+    return tx, schedule
