@@ -1,0 +1,204 @@
+"""jit-compiled train/eval step builders.
+
+One pjit step function replaces the reference's per-rank train loop
+body (``scripts/main_lavila_pretrain.py:793-903``): forward, loss over
+the global batch, grad, optimizer update, logit-scale clamp — all
+partitioned over the mesh; XLA inserts gradient reductions and the
+InfoNCE gather on ICI.  Buffers are donated so params/opt-state update
+in place.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from avion_tpu.core.train_state import TrainState
+from avion_tpu.losses import clip_loss, max_margin_ranking_loss
+from avion_tpu.losses.losses import (
+    soft_target_cross_entropy,
+    softmax_cross_entropy,
+    videomae_loss,
+)
+
+LOGIT_SCALE_MAX = 4.6052  # ln(100); scripts/main_lavila_pretrain.py:880
+
+
+def _clamp_logit_scale(params):
+    if "logit_scale" in params:
+        params = dict(params)
+        params["logit_scale"] = jnp.clip(params["logit_scale"], 0.0,
+                                         LOGIT_SCALE_MAX)
+    return params
+
+
+def _finite_or_skip(new_state, old_state, loss):
+    """NaN guard: keep old state on non-finite loss (the reference kills
+    the whole run, ``avion/utils/misc.py:13-16``; we skip the step and
+    surface the event in metrics instead)."""
+    ok = jnp.isfinite(loss)
+    return jax.tree_util.tree_map(
+        lambda n, o: jnp.where(ok, n, o), new_state, old_state
+    ), ok
+
+
+def make_clip_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    label_smoothing: float = 0.0,
+    freeze_logit_scale: bool = False,
+) -> Callable:
+    def step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        dropout_rng, pd_rng = jax.random.split(rng)
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params}, batch["video"], batch["text"],
+                False,
+                rngs={"dropout": dropout_rng, "patch_dropout": pd_rng},
+            )
+            d = clip_loss(out["image_embed"], out["text_embed"],
+                          out["logit_scale"], label_smoothing)
+            d["logit_scale"] = out["logit_scale"]
+            return d["loss"], d
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        params = _clamp_logit_scale(params)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state
+        )
+        new_state, ok = _finite_or_skip(new_state, state.replace(step=state.step + 1), loss)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["step_ok"] = ok.astype(jnp.float32)
+        return new_state, metrics
+
+    return step
+
+
+def make_mir_finetune_step(model, tx, margin: float = 0.2) -> Callable:
+    def step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params}, batch["video"], batch["text"], False,
+                rngs={"dropout": rng, "patch_dropout": rng},
+            )
+            d = max_margin_ranking_loss(
+                out["image_embed"], out["text_embed"], margin=margin
+            )
+            return d["loss"], d
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state
+        )
+        new_state, ok = _finite_or_skip(new_state, state.replace(step=state.step + 1), loss)
+        metrics["step_ok"] = ok.astype(jnp.float32)
+        return new_state, metrics
+
+    return step
+
+
+def make_cls_train_step(
+    model,
+    tx,
+    label_smoothing: float = 0.0,
+    ema_decay: Optional[float] = None,
+) -> Callable:
+    """Classification finetune step; batch["label"] is either int labels
+    or a soft-target distribution (mixup/cutmix already applied)."""
+
+    def step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            logits = model.apply(
+                {"params": params}, batch["video"], False,
+                rngs={"dropout": rng},
+            )
+            label = batch["label"]
+            if label.ndim == logits.ndim:
+                loss = soft_target_cross_entropy(logits, label)
+                hard = jnp.argmax(label, axis=-1)
+            else:
+                loss = softmax_cross_entropy(logits, label, label_smoothing)
+                hard = label
+            acc = 100.0 * jnp.mean(
+                (jnp.argmax(logits, -1) == hard).astype(jnp.float32)
+            )
+            return loss, {"loss": loss, "acc1": acc}
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None and ema_decay is not None:
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + (1 - ema_decay) * p, ema, params
+            )
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state,
+            ema_params=ema,
+        )
+        new_state, ok = _finite_or_skip(
+            new_state,
+            state.replace(step=state.step + 1),
+            loss,
+        )
+        metrics["step_ok"] = ok.astype(jnp.float32)
+        return new_state, metrics
+
+    return step
+
+
+def make_videomae_train_step(
+    model, tx, patch_size: int = 16, tubelet_size: int = 2,
+    normalize_target: bool = True,
+) -> Callable:
+    def step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            pred, masked_idx = model.apply(
+                {"params": params}, batch["video"], batch["mask"], False,
+                rngs={"dropout": rng},
+            )
+            d = videomae_loss(pred, batch["video"], masked_idx, patch_size,
+                              tubelet_size, normalize_target)
+            return d["loss"], d
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state
+        )
+        new_state, ok = _finite_or_skip(new_state, state.replace(step=state.step + 1), loss)
+        metrics["step_ok"] = ok.astype(jnp.float32)
+        return new_state, metrics
+
+    return step
+
+
+def compile_step(step_fn, mesh, donate_state: bool = True):
+    """jit the step with state donated; under a mesh, shardings propagate
+    from the input state/batch placements."""
+    return jax.jit(step_fn, donate_argnums=(0,) if donate_state else ())
