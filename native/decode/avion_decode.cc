@@ -1,0 +1,302 @@
+// avion_decode: host-side fused video decode for the AVION-TPU data path.
+//
+// TPU-native equivalent of the reference's forked decord "fused
+// DecodeCrop" (third_party/decord submodule; API reconstructed from
+// call sites avion/data/clip_dataset.py:30-54).  Differences by design:
+//   - Crop/flip *parameters* are sampled in Python per clip (RRC / MSC /
+//     center-crop policies) and passed down; the C++ side does the pixel
+//     work: seek, decode, crop, scale, flip — so only crop-sized RGB
+//     frames ever cross into Python (and then to the TPU as uint8).
+//   - One crop per clip (the reference's per-clip crop consistency).
+//   - Frame index is built by a packet scan at open() — exact seeking on
+//     the 15-second chunk files the pipeline uses.
+//
+// C API (ctypes-friendly); all functions return 0 on success, negative
+// on failure; avd_last_error() returns a static message.
+//
+// Build: make -C native/decode  (produces libavion_decode.so)
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswscale/swscale.h>
+}
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct FrameIndex {
+  int64_t pts;
+  bool keyframe;
+};
+
+struct Reader {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* codec = nullptr;
+  int stream_idx = -1;
+  std::vector<FrameIndex> index;  // presentation order
+  double fps = 0.0;
+  int width = 0;
+  int height = 0;
+  std::string error;
+  // cached decode state for sequential get_batch calls
+  int64_t last_decoded_pts = INT64_MIN;
+  int64_t last_decoded_idx = -1;  // frame index (presentation order)
+};
+
+thread_local std::string g_error;
+
+void set_error(Reader* r, const std::string& msg) {
+  if (r) r->error = msg;
+  g_error = msg;
+}
+
+int build_index(Reader* r) {
+  AVPacket* pkt = av_packet_alloc();
+  while (av_read_frame(r->fmt, pkt) >= 0) {
+    if (pkt->stream_index == r->stream_idx) {
+      int64_t pts = pkt->pts != AV_NOPTS_VALUE ? pkt->pts : pkt->dts;
+      r->index.push_back({pts, (pkt->flags & AV_PKT_FLAG_KEY) != 0});
+    }
+    av_packet_unref(pkt);
+  }
+  av_packet_free(&pkt);
+  std::sort(r->index.begin(), r->index.end(),
+            [](const FrameIndex& a, const FrameIndex& b) { return a.pts < b.pts; });
+  // rewind for decoding
+  av_seek_frame(r->fmt, r->stream_idx, r->index.empty() ? 0 : r->index.front().pts,
+                AVSEEK_FLAG_BACKWARD);
+  return r->index.empty() ? -1 : 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* avd_open(const char* path, int num_threads) {
+  auto* r = new Reader();
+  if (avformat_open_input(&r->fmt, path, nullptr, nullptr) < 0) {
+    set_error(nullptr, std::string("cannot open ") + path);
+    delete r;
+    return nullptr;
+  }
+  if (avformat_find_stream_info(r->fmt, nullptr) < 0) {
+    set_error(nullptr, "no stream info");
+    avformat_close_input(&r->fmt);
+    delete r;
+    return nullptr;
+  }
+  const AVCodec* dec = nullptr;
+  r->stream_idx =
+      av_find_best_stream(r->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &dec, 0);
+  if (r->stream_idx < 0 || !dec) {
+    set_error(nullptr, "no video stream");
+    avformat_close_input(&r->fmt);
+    delete r;
+    return nullptr;
+  }
+  AVStream* st = r->fmt->streams[r->stream_idx];
+  r->codec = avcodec_alloc_context3(dec);
+  avcodec_parameters_to_context(r->codec, st->codecpar);
+  r->codec->thread_count = num_threads > 0 ? num_threads : 1;
+  r->codec->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
+  if (avcodec_open2(r->codec, dec, nullptr) < 0) {
+    set_error(nullptr, "cannot open codec");
+    avformat_close_input(&r->fmt);
+    delete r;
+    return nullptr;
+  }
+  r->width = r->codec->width;
+  r->height = r->codec->height;
+  AVRational fr = av_guess_frame_rate(r->fmt, st, nullptr);
+  r->fps = fr.den > 0 ? av_q2d(fr) : 30.0;
+  if (build_index(r) < 0) {
+    set_error(nullptr, "empty stream index");
+    avcodec_free_context(&r->codec);
+    avformat_close_input(&r->fmt);
+    delete r;
+    return nullptr;
+  }
+  return r;
+}
+
+int avd_frame_count(void* h) {
+  return h ? (int)((Reader*)h)->index.size() : -1;
+}
+
+double avd_fps(void* h) { return h ? ((Reader*)h)->fps : 0.0; }
+int avd_width(void* h) { return h ? ((Reader*)h)->width : -1; }
+int avd_height(void* h) { return h ? ((Reader*)h)->height : -1; }
+
+const char* avd_last_error(void* h) {
+  if (h && !((Reader*)h)->error.empty()) return ((Reader*)h)->error.c_str();
+  return g_error.c_str();
+}
+
+// Fused get_batch: decode the frames in `indices` (0-based, presentation
+// order), crop the normalized region (cx, cy, cw, ch) from each decoded
+// frame, scale to out_w x out_h RGB24, apply flips, and write into `out`
+// (n * out_h * out_w * 3 bytes, frame-major).
+int avd_get_batch(void* h, const int64_t* indices, int n, float cx, float cy,
+                  float cw, float ch, int hflip, int vflip, int out_w,
+                  int out_h, uint8_t* out) {
+  if (!h) return -1;
+  auto* r = (Reader*)h;
+  const int nframes = (int)r->index.size();
+  if (n <= 0) return 0;
+
+  // clamp + unique-sort the wanted frames
+  std::vector<int64_t> want(indices, indices + n);
+  for (auto& w : want) w = std::min<int64_t>(std::max<int64_t>(w, 0), nframes - 1);
+  std::vector<int64_t> uniq = want;
+  std::sort(uniq.begin(), uniq.end());
+  uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+
+  // source crop rect in pixels (even-aligned for yuv chroma safety)
+  int sx = ((int)(cx * r->width)) & ~1;
+  int sy = ((int)(cy * r->height)) & ~1;
+  int sw = ((int)(cw * r->width)) & ~1;
+  int sh = ((int)(ch * r->height)) & ~1;
+  sw = std::max(2, std::min(sw, r->width - sx));
+  sh = std::max(2, std::min(sh, r->height - sy));
+
+  SwsContext* sws = nullptr;
+  AVPixelFormat last_fmt = AV_PIX_FMT_NONE;
+
+  // seek: find latest keyframe <= first wanted frame; skip the seek when
+  // the decoder is already positioned just before it (sequential reads)
+  int64_t first = uniq.front();
+  int kf = (int)first;
+  while (kf > 0 && !r->index[kf].keyframe) kf--;
+  int64_t seek_pts = r->index[kf].pts;
+  // seek when the first wanted frame is at/behind the current position
+  // (must rewind) or far ahead (cheaper to jump); otherwise decode forward
+  const bool need_seek =
+      r->last_decoded_idx < 0 || first <= r->last_decoded_idx ||
+      first > r->last_decoded_idx + 300;
+  if (need_seek) {
+    av_seek_frame(r->fmt, r->stream_idx, seek_pts, AVSEEK_FLAG_BACKWARD);
+    avcodec_flush_buffers(r->codec);
+    r->last_decoded_pts = INT64_MIN;
+    r->last_decoded_idx = -1;
+  }
+
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  std::vector<uint8_t> scaled((size_t)out_w * out_h * 3);
+  size_t found = 0;
+  std::vector<int64_t> wanted_pts(uniq.size());
+  for (size_t i = 0; i < uniq.size(); i++) wanted_pts[i] = r->index[uniq[i]].pts;
+
+  auto emit = [&](AVFrame* f, size_t uniq_pos) {
+    // crop by plane-pointer offset, then scale
+    AVPixelFormat fmt = (AVPixelFormat)f->format;
+    if (!sws || fmt != last_fmt) {
+      if (sws) sws_freeContext(sws);
+      sws = sws_getContext(sw, sh, fmt, out_w, out_h, AV_PIX_FMT_RGB24,
+                           SWS_BILINEAR, nullptr, nullptr, nullptr);
+      last_fmt = fmt;
+    }
+    const AVPixFmtDescriptor* desc = av_pix_fmt_desc_get(fmt);
+    const uint8_t* src_data[4] = {nullptr, nullptr, nullptr, nullptr};
+    for (int p = 0; p < 4 && f->data[p]; p++) {
+      int xs = (p == 1 || p == 2) ? desc->log2_chroma_w : 0;
+      int ys = (p == 1 || p == 2) ? desc->log2_chroma_h : 0;
+      src_data[p] = f->data[p] + (sy >> ys) * f->linesize[p] + ((sx >> xs) *
+                    ((p == 0 && desc->comp[0].step > 1) ? desc->comp[0].step : 1));
+    }
+    uint8_t* dst[1] = {scaled.data()};
+    int dst_stride[1] = {out_w * 3};
+    sws_scale(sws, src_data, f->linesize, 0, sh, dst, dst_stride);
+
+    // write (with flips) to every output slot wanting this frame
+    int64_t fidx = uniq[uniq_pos];
+    for (int oi = 0; oi < n; oi++) {
+      if (want[oi] != fidx) continue;
+      uint8_t* base = out + (size_t)oi * out_h * out_w * 3;
+      for (int y = 0; y < out_h; y++) {
+        int sy2 = vflip ? (out_h - 1 - y) : y;
+        const uint8_t* srow = scaled.data() + (size_t)sy2 * out_w * 3;
+        uint8_t* drow = base + (size_t)y * out_w * 3;
+        if (!hflip) {
+          memcpy(drow, srow, (size_t)out_w * 3);
+        } else {
+          for (int x = 0; x < out_w; x++) {
+            const uint8_t* sp = srow + (size_t)(out_w - 1 - x) * 3;
+            uint8_t* dp = drow + (size_t)x * 3;
+            dp[0] = sp[0]; dp[1] = sp[1]; dp[2] = sp[2];
+          }
+        }
+      }
+    }
+  };
+
+  // decode forward until all wanted frames are emitted
+  bool draining = false;
+  while (found < uniq.size()) {
+    if (!draining) {
+      int ret = av_read_frame(r->fmt, pkt);
+      if (ret < 0) {
+        avcodec_send_packet(r->codec, nullptr);  // enter drain mode
+        draining = true;
+      } else {
+        if (pkt->stream_index != r->stream_idx) {
+          av_packet_unref(pkt);
+          continue;
+        }
+        avcodec_send_packet(r->codec, pkt);
+        av_packet_unref(pkt);
+      }
+    }
+    int ret;
+    while ((ret = avcodec_receive_frame(r->codec, frame)) >= 0) {
+      int64_t pts = frame->best_effort_timestamp != AV_NOPTS_VALUE
+                        ? frame->best_effort_timestamp
+                        : frame->pts;
+      r->last_decoded_pts = pts;
+      {
+        auto pit = std::lower_bound(
+            r->index.begin(), r->index.end(), pts,
+            [](const FrameIndex& a, int64_t v) { return a.pts < v; });
+        if (pit != r->index.end() && pit->pts == pts)
+          r->last_decoded_idx = pit - r->index.begin();
+      }
+      auto it = std::lower_bound(wanted_pts.begin(), wanted_pts.end(), pts);
+      if (it != wanted_pts.end() && *it == pts) {
+        emit(frame, (size_t)(it - wanted_pts.begin()));
+        found++;
+      }
+      av_frame_unref(frame);
+      if (found == uniq.size()) break;
+    }
+    if (draining && ret == AVERROR_EOF) break;
+  }
+
+  if (sws) sws_freeContext(sws);
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  if (found < uniq.size()) {
+    set_error(r, "decoded " + std::to_string(found) + "/" +
+                     std::to_string(uniq.size()) + " wanted frames");
+    return -2;
+  }
+  return 0;
+}
+
+void avd_close(void* h) {
+  if (!h) return;
+  auto* r = (Reader*)h;
+  if (r->codec) avcodec_free_context(&r->codec);
+  if (r->fmt) avformat_close_input(&r->fmt);
+  delete r;
+}
+
+}  // extern "C"
