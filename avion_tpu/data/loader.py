@@ -1,0 +1,152 @@
+"""Parallel data loading + device prefetch.
+
+Replaces torch DataLoader + DistributedSampler + pin_memory H2D
+(``main_lavila_pretrain.py:582-592``): worker processes run the
+dataset's fused-decode ``__getitem__``; the main process collates and
+asynchronously ships batches to the mesh with ``device_put`` so the
+next batch is in flight while the TPU computes (double-buffering).
+Per-host sharding for multi-host meshes mirrors DistributedSampler's
+rank slicing via ``make_global_batch``.
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
+from typing import Any, Callable, Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+from avion_tpu.data.datasets import collate
+
+_WORKER_DATASET = None
+
+
+def _worker_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_fetch(indices):
+    items = [_WORKER_DATASET[int(i)] for i in indices]
+    return collate(items)
+
+
+class DataLoader:
+    """Map-style loader: shuffling sampler, worker pool, prefetch queue.
+
+    num_workers=0 -> synchronous in-process loading (debuggable);
+    otherwise a fork-based process pool decodes batches ahead of time.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_workers: int = 4,
+        prefetch_depth: int = 4,
+        seed: int = 0,
+        epoch: int = 0,
+        infinite: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.prefetch_depth = max(1, prefetch_depth)
+        self.seed = seed
+        self.epoch = epoch
+        self.infinite = infinite
+        self._pool = None
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _index_batches(self, epoch: int):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(order)
+        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for i in range(0, stop, self.batch_size):
+            yield order[i : i + self.batch_size]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        epoch = self.epoch
+        while True:
+            if self.num_workers <= 0:
+                for idx in self._index_batches(epoch):
+                    yield collate([self.dataset[int(i)] for i in idx])
+            else:
+                if self._pool is None:
+                    self._pool = ProcessPoolExecutor(
+                        max_workers=self.num_workers,
+                        initializer=_worker_init,
+                        initargs=(self.dataset,),
+                    )
+                pending = collections.deque()
+                gen = self._index_batches(epoch)
+                try:
+                    for _ in range(self.prefetch_depth):
+                        idx = next(gen, None)
+                        if idx is None:
+                            break
+                        pending.append(self._pool.submit(_worker_fetch, idx))
+                    while pending:
+                        batch = pending.popleft().result()
+                        idx = next(gen, None)
+                        if idx is not None:
+                            pending.append(self._pool.submit(_worker_fetch, idx))
+                        yield batch
+                except GeneratorExit:
+                    for f in pending:
+                        f.cancel()
+                    raise
+            if not self.infinite:
+                return
+            epoch += 1
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+
+def device_prefetch(
+    loader: Iterator[Dict[str, np.ndarray]],
+    mesh,
+    depth: int = 2,
+    transform: Optional[Callable] = None,
+) -> Iterator[Any]:
+    """Ship host batches to the mesh ahead of consumption.
+
+    ``device_put`` is async: with ``depth`` batches in flight the H2D
+    transfer of batch N+1 overlaps the TPU's compute of batch N — the
+    duty-cycle mechanism the reference approximates with pinned-memory
+    prefetch (``main_lavila_pretrain.py:186-191``).
+    """
+    from avion_tpu.parallel.sharding import make_global_batch
+
+    buf = collections.deque()
+    it = iter(loader)
+    try:
+        while True:
+            while len(buf) < depth:
+                host = next(it)
+                if transform is not None:
+                    host = transform(host)
+                buf.append(make_global_batch(mesh, host))
+            yield buf.popleft()
+    except StopIteration:
+        while buf:
+            yield buf.popleft()

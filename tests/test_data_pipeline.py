@@ -1,0 +1,200 @@
+import os
+import os.path as osp
+import pickle
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from avion_tpu.data.sampling import get_frame_ids, load_clip, strided_frame_ids
+from avion_tpu.data.transforms import (
+    sample_rrc,
+    sample_msc,
+    center_crop_spec,
+    spatial_three_crops,
+    tube_mask,
+    tube_mask_batch,
+)
+from avion_tpu.data.datasets import (
+    AugmentSpec,
+    KineticsDataset,
+    VideoCaptionDataset,
+    collate,
+)
+from avion_tpu.data.loader import DataLoader
+
+FPS = 10
+CHUNK = 2  # seconds per chunk file
+
+
+def _write_video(path, n_frames, w=64, h=48, value_offset=0):
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), FPS, (w, h))
+    for i in range(n_frames):
+        f = np.full((h, w, 3), min(255, value_offset + i * 2), np.uint8)
+        vw.write(f)
+    vw.release()
+
+
+@pytest.fixture(scope="module")
+def ego4d_root(tmp_path_factory):
+    """Chunked layout: root/<vid>.mp4/<chunk_start>.mp4"""
+    root = str(tmp_path_factory.mktemp("ego4d"))
+    for vid in ("vid_a", "vid_b"):
+        d = osp.join(root, f"{vid}.mp4")
+        os.makedirs(d)
+        for chunk in (0, 2, 4):  # 3 chunks of 2s @ 10fps = 60 frames total
+            _write_video(osp.join(d, f"{chunk}.mp4"), CHUNK * FPS,
+                         value_offset=chunk * 10)
+    meta = osp.join(root, "meta.pkl")
+    samples = [
+        ("vid_a", 0.5, 3.5, "opens the drawer"),
+        ("vid_b", 1.0, 5.0, ["washes hands", "rinses hands"]),
+        ("vid_a", 4.0, 6.0, "closes the door"),
+    ]
+    with open(meta, "wb") as f:
+        pickle.dump(samples, f)
+    return root, meta
+
+
+def test_get_frame_ids_matches_reference_formula():
+    ref = np.convolve(np.linspace(10, 50, 9), [0.5, 0.5], "valid").astype(int)
+    got = get_frame_ids(10, 50, num_segments=8, jitter=False)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_get_frame_ids_jitter_bounded():
+    rng = np.random.RandomState(0)
+    ids = get_frame_ids(0, 80, num_segments=8, jitter=True, rng=rng)
+    assert len(ids) == 8
+    assert all(-5 <= i <= 85 for i in ids)
+
+
+def test_strided_frame_ids():
+    ids = strided_frame_ids(100, 16, 4, random_shift=False)
+    assert len(ids) == 16
+    assert ids[1] - ids[0] == 4
+    ids2 = strided_frame_ids(10, 16, 4, random_shift=False)
+    assert max(ids2) == 9  # clamped
+
+
+def test_load_clip_chunked(ego4d_root):
+    root, _ = ego4d_root
+    clip = load_clip(root, "vid_a", "mp4", 0.5, 3.5, chunk_len=CHUNK,
+                     fps=FPS, clip_length=8, out_size=(32, 32))
+    assert clip.shape == (8, 32, 32, 3)
+    assert clip.dtype == np.uint8
+    # frames span chunks 0 and 2s: brightness should increase
+    assert clip[-1].mean() > clip[0].mean()
+
+
+def test_load_clip_missing_chunk_walks_back(ego4d_root):
+    root, _ = ego4d_root
+    # end beyond last chunk: walks chunk_end back and still returns frames
+    clip = load_clip(root, "vid_a", "mp4", 4.0, 40.0, chunk_len=CHUNK,
+                     fps=FPS, clip_length=4, out_size=(32, 32))
+    assert clip.shape == (4, 32, 32, 3)
+
+
+def test_load_clip_missing_video_placeholder(ego4d_root):
+    root, _ = ego4d_root
+    clip = load_clip(root, "nope", "mp4", 0, 2, chunk_len=CHUNK, fps=FPS,
+                     clip_length=4, out_size=(32, 32))
+    assert clip.shape == (4, 32, 32, 3)
+    assert clip.sum() == 0
+
+
+def test_caption_dataset(ego4d_root):
+    root, meta = ego4d_root
+    ds = VideoCaptionDataset(
+        "ego4d", root, meta, is_training=True, clip_length=4,
+        chunk_len=CHUNK, fps=FPS,
+        augment=AugmentSpec(crop_size=32, mode="rrc"),
+    )
+    assert len(ds) == 3
+    item = ds[1]
+    assert item["video"].shape == (4, 32, 32, 3)
+    assert item["text"].shape == (77,)
+    assert item["text"][0] == 49406
+
+
+def test_loader_batches(ego4d_root):
+    root, meta = ego4d_root
+    ds = VideoCaptionDataset(
+        "ego4d", root, meta, is_training=True, clip_length=4,
+        chunk_len=CHUNK, fps=FPS,
+        augment=AugmentSpec(crop_size=32),
+    )
+    loader = DataLoader(ds, batch_size=2, num_workers=0, shuffle=True)
+    batches = list(loader)
+    assert len(batches) == 1  # 3 samples, drop_last
+    assert batches[0]["video"].shape == (2, 4, 32, 32, 3)
+    assert batches[0]["text"].shape == (2, 77)
+
+
+def test_loader_multiprocess(ego4d_root):
+    root, meta = ego4d_root
+    ds = VideoCaptionDataset(
+        "ego4d", root, meta, is_training=False, clip_length=4,
+        chunk_len=CHUNK, fps=FPS, augment=AugmentSpec(crop_size=32, mode="center"),
+    )
+    loader = DataLoader(ds, batch_size=1, num_workers=2, shuffle=False,
+                        drop_last=False)
+    batches = list(loader)
+    loader.close()
+    assert len(batches) == 3
+    # determinism: eval items seeded by index
+    again = ds[0]
+    np.testing.assert_array_equal(batches[0]["video"][0], again["video"])
+
+
+def test_rrc_bounds():
+    rng = np.random.RandomState(0)
+    for _ in range(50):
+        c = sample_rrc(rng, (0.5, 1.0), hflip_prob=0.5)
+        assert 0 <= c.x <= 1 and 0 <= c.y <= 1
+        assert c.x + c.w <= 1.0001 and c.y + c.h <= 1.0001
+        assert 0.3 <= c.w * c.h <= 1.0001
+
+
+def test_msc_and_center_and_3crop():
+    rng = np.random.RandomState(0)
+    c = sample_msc(rng, 456, 256, input_size=224)
+    assert 0 <= c.x and c.x + c.w <= 1.0001
+    cc = center_crop_spec(456, 256)
+    assert abs(cc.w * 456 - 256) < 2 and abs(cc.h - 1.0) < 1e-6
+    crops = spatial_three_crops(456, 256)
+    assert len(crops) == 3
+    assert crops[0].x == 0 and crops[2].x + crops[2].w <= 1.0001
+
+
+def test_tube_mask_counts():
+    rng = np.random.RandomState(0)
+    m = tube_mask(rng, frames=8, height=14, width=14, mask_ratio=0.9)
+    assert m.shape == (8 * 196,)
+    per_frame = m.reshape(8, 196)
+    assert (per_frame.sum(1) == int(0.9 * 196)).all()
+    np.testing.assert_array_equal(per_frame[0], per_frame[5])  # tube = same
+    mb = tube_mask_batch(rng, 4, 8, 14, 14, 0.9)
+    assert mb.shape == (4, 8 * 196)
+    assert (mb.sum(1) == 8 * int(0.9 * 196)).all()
+
+
+def test_kinetics_dataset(tmp_path):
+    root = str(tmp_path)
+    vids = []
+    for i in range(2):
+        p = osp.join(root, f"v{i}.mp4")
+        _write_video(p, 40)
+        vids.append(f"v{i}.mp4 1")
+    meta = osp.join(root, "list.txt")
+    open(meta, "w").write("\n".join(vids))
+    ds = KineticsDataset(
+        root, meta, clip_length=4, clip_stride=2, crop_size=32,
+        patch_size=16, tubelet_size=2, mask_ratio=0.5,
+        augment=AugmentSpec(crop_size=32, mode="msc", hflip_prob=0.5),
+    )
+    item = ds[0]
+    assert item["video"].shape == (4, 32, 32, 3)
+    assert item["mask"].shape == (2 * 4,)  # (4/2 frames) * (2*2 patches)
+    assert item["mask"].sum() == 2 * int(0.5 * 4)
