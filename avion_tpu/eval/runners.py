@@ -1,0 +1,234 @@
+"""Evaluation runners: embedding sweeps + the five zero-shot suites.
+
+Single-controller replacements for the reference's per-rank eval loops
+with all_gather + interleave reassembly (``evaluation_ek100mir.py:
+249-294``): under pjit the embedding sweep is already global, so
+results come back in dataset order — no reorg, just unpadding.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avion_tpu.data.tokenizer import tokenize
+from avion_tpu.data.transforms import normalize_video
+from avion_tpu.eval.classification_metrics import (
+    ZERO_SHOT_TEMPLATES,
+    charades_map,
+    confusion_matrix,
+    egomcq_accuracy,
+    get_marginal_indexes,
+    marginalize,
+    mean_class_accuracy,
+    topk_accuracy,
+)
+from avion_tpu.eval.retrieval_metrics import get_map, get_ndcg
+
+
+class CLIPEncoders:
+    """Jitted, batch-padded encode functions over a CLIP model."""
+
+    def __init__(self, model, params, mean=None, std=None, batch: int = 64):
+        from avion_tpu.data.transforms import OPENAI_MEAN, OPENAI_STD
+
+        self.model = model
+        self.params = params
+        self.batch = batch
+        mean = mean if mean is not None else OPENAI_MEAN
+        std = std if std is not None else OPENAI_STD
+
+        @jax.jit
+        def _img(params, video):
+            v = normalize_video(video, mean, std, dtype=model.dtype)
+            return model.apply({"params": params}, v,
+                               method=model.encode_image)
+
+        @jax.jit
+        def _txt(params, text):
+            return model.apply({"params": params}, text,
+                               method=model.encode_text)
+
+        self._img, self._txt = _img, _txt
+
+    def _sweep(self, fn, arr: np.ndarray) -> np.ndarray:
+        n = arr.shape[0]
+        out = []
+        for i in range(0, n, self.batch):
+            chunk = arr[i : i + self.batch]
+            pad = self.batch - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], pad, axis=0)], axis=0
+                )
+            emb = np.asarray(fn(self.params, chunk), np.float32)
+            out.append(emb[: self.batch - pad])
+        return np.concatenate(out, axis=0)
+
+    def encode_images(self, videos: np.ndarray) -> np.ndarray:
+        return self._sweep(self._img, videos)
+
+    def encode_texts(self, texts: np.ndarray) -> np.ndarray:
+        return self._sweep(self._txt, texts)
+
+    def sweep_loader(self, loader, keys=("video", "text")) -> Dict[str, np.ndarray]:
+        """Iterate a loader, encoding each modality; returns stacked
+        embeddings plus any passthrough scalar fields."""
+        img, txt, extras = [], [], {}
+        for batch in loader:
+            if "video" in keys and "video" in batch:
+                img.append(self.encode_images(batch["video"]))
+            if "text" in keys and "text" in batch:
+                txt.append(self.encode_texts(batch["text"]))
+            for k, v in batch.items():
+                if k in ("video", "text"):
+                    continue
+                extras.setdefault(k, []).append(np.asarray(v))
+        out = {}
+        if img:
+            out["image_embed"] = np.concatenate(img)
+        if txt:
+            out["text_embed"] = np.concatenate(txt)
+        for k, v in extras.items():
+            out[k] = np.concatenate(v)
+        return out
+
+
+def validate_mir(
+    encoders: CLIPEncoders,
+    loader,
+    relevancy_matrix: np.ndarray,
+    video_id_order: Optional[Sequence] = None,
+    text_id_order: Optional[Sequence] = None,
+) -> Dict[str, float]:
+    """EK100-MIR retrieval eval (``validate_mir``,
+    ``evaluation_ek100mir.py:214-332``): similarity (x+1)/2, columns
+    remapped from clip order to sentence order, then mAP/nDCG."""
+    res = encoders.sweep_loader(loader)
+    img, txt = res["image_embed"], res["text_embed"]
+    n = relevancy_matrix.shape[0]
+    img, txt = img[:n], txt[:n]
+    sim = (img @ txt.T + 1) / 2
+    if video_id_order is not None and text_id_order is not None:
+        vid_list = list(video_id_order)
+        indexes = [vid_list.index(t) for t in text_id_order]
+        sim = sim[:, indexes]
+    vmap, tmap, amap = get_map(sim, relevancy_matrix)
+    vndcg, tndcg, andcg = get_ndcg(sim, relevancy_matrix)
+    return {
+        "vis_map": vmap, "txt_map": tmap, "avg_map": amap,
+        "vis_ndcg": vndcg, "txt_ndcg": tndcg, "avg_ndcg": andcg,
+    }
+
+
+def build_text_classifier(
+    encoders: CLIPEncoders,
+    labels: Sequence[str],
+    templates: Sequence[str] = tuple(ZERO_SHOT_TEMPLATES),
+    context_length: int = 77,
+) -> np.ndarray:
+    """Prompt-ensemble classifier weights [n_classes, D]
+    (``evaluation_common.py:58-82``): encode each template-filled label,
+    mean over templates, renormalize."""
+    weights = []
+    for label in labels:
+        toks = tokenize([t.format(label) for t in templates], context_length)
+        emb = encoders.encode_texts(toks)
+        mean = emb.mean(axis=0)
+        weights.append(mean / max(np.linalg.norm(mean), 1e-8))
+    return np.stack(weights)
+
+
+def validate_zeroshot_cls(
+    encoders: CLIPEncoders,
+    loader,
+    classifier: np.ndarray,
+    *,
+    n_classes: Optional[int] = None,
+    multilabel: bool = False,
+    marginal_actions=None,
+) -> Dict[str, float]:
+    """Zero-shot classification over a video loader.  Batches may carry
+    multiple clips/crops per sample ([B, V, T, H, W, C]); logits are
+    max-pooled over views (``evaluation_common.py:107-123``)."""
+    all_logits, all_labels = [], []
+    for batch in loader:
+        video = batch["video"]
+        if video.ndim == 6:  # views
+            b, v = video.shape[:2]
+            emb = encoders.encode_images(video.reshape((b * v,) + video.shape[2:]))
+            logits = emb @ classifier.T
+            logits = logits.reshape(b, v, -1).max(axis=1)
+        else:
+            emb = encoders.encode_images(video)
+            logits = emb @ classifier.T
+        all_logits.append(logits)
+        all_labels.append(np.asarray(batch["label"]))
+    logits = np.concatenate(all_logits)
+    labels = np.concatenate(all_labels)
+
+    out: Dict[str, float] = {}
+    if multilabel:
+        m_ap, _, _ = charades_map(logits, labels)
+        out["mAP"] = 100.0 * m_ap
+        return out
+    acc1, acc5 = topk_accuracy(logits, labels, (1, 5))
+    out["acc1"], out["acc5"] = acc1, acc5
+    if n_classes:
+        cm = confusion_matrix(np.argmax(logits, 1), labels, n_classes)
+        mean_acc, overall = mean_class_accuracy(cm)
+        out["mean_class_acc"] = mean_acc
+    if marginal_actions is not None:
+        # verb/noun marginalization (evaluation_ek100cls.py:12-34)
+        probs = _softmax(logits)
+        for mode in ("verb", "noun"):
+            idx = get_marginal_indexes(marginal_actions, mode)
+            mp = marginalize(probs, idx)
+            col = 0 if mode == "verb" else 1
+            part_labels = np.asarray([marginal_actions[a][col] for a in labels])
+            out[f"{mode}_acc1"] = topk_accuracy(mp, part_labels, (1,))[0]
+    return out
+
+
+def validate_egomcq(encoders: CLIPEncoders, loader) -> Dict[str, float]:
+    """EgoMCQ: query text vs 5 candidate videos
+    (``evaluation_egomcq.py:30-89``)."""
+    preds, answers, types = [], [], []
+    for batch in loader:
+        q = encoders.encode_texts(batch["query"])           # [B, D]
+        vids = batch["videos"]                              # [B, 5, T, H, W, C]
+        b, k = vids.shape[:2]
+        v = encoders.encode_images(vids.reshape((b * k,) + vids.shape[2:]))
+        v = v.reshape(b, k, -1)
+        preds.append(np.einsum("bd,bkd->bk", q, v))
+        answers.append(np.asarray(batch["answer"]))
+        types.append(np.asarray(batch["type"]))
+    return egomcq_accuracy(
+        np.concatenate(preds), np.concatenate(answers), np.concatenate(types)
+    )
+
+
+def _softmax(x):
+    x = x - x.max(axis=-1, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def validate_all(encoders: CLIPEncoders, suites: Dict[str, Callable]) -> Dict[str, float]:
+    """Fan out over configured suites (``avion/utils/validate.py:8-72``);
+    each suite is a zero-arg callable returning a metric dict; results
+    are flattened to ``test_<suite>_<metric>``."""
+    out = {}
+    for name, fn in suites.items():
+        try:
+            metrics = fn()
+        except Exception as e:  # a failing suite shouldn't kill training
+            print(f"[validate_all] suite {name} failed: {e}")
+            continue
+        for k, v in metrics.items():
+            out[f"test_{name}_{k}"] = float(v)
+    return out
