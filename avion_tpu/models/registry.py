@@ -100,6 +100,31 @@ register_model("CLIP_VITL14_336PX")(
 )
 
 
+@register_model("CLIP_TINY")
+def _clip_tiny(
+    num_frames: int = 2,
+    project_embed_dim: int = 32,
+    use_flash_attn: bool = False,
+    use_grad_checkpointing: bool = False,
+    use_quick_gelu: bool = True,
+    dtype=None,
+    **_unused,
+):
+    """Miniature CLIP for smoke tests / CI (not in the reference)."""
+    import jax.numpy as jnp
+
+    from avion_tpu.models.clip import CLIP
+
+    return CLIP(
+        embed_dim=project_embed_dim, image_size=32, patch_size=16,
+        num_frames=num_frames, vision_width=64, vision_layers=2,
+        vision_heads=2, context_length=77, vocab_size=49408, text_width=32,
+        text_heads=2, text_layers=2, use_quick_gelu=use_quick_gelu,
+        use_flash=use_flash_attn, remat=use_grad_checkpointing,
+        dtype=dtype if dtype is not None else jnp.float32,
+    )
+
+
 @register_model("VIDEOMAE_VITB16")
 def _videomae_vitb16(
     num_frames: int = 16,

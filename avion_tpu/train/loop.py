@@ -1,0 +1,127 @@
+"""Shared training-run harness used by all entry points.
+
+Replaces the per-entry boilerplate of the reference's five scripts
+(distributed init, model/optimizer build, resume, loop, checkpoint —
+e.g. ``scripts/main_lavila_pretrain.py:249-756``) with one setup path:
+mesh + sharded state + orbax auto-resume + duty-cycle metering.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from avion_tpu.core.checkpoint import Checkpointer
+from avion_tpu.core.config import TrainConfig
+from avion_tpu.core.logging import MetricLogger
+from avion_tpu.core.meters import AverageMeter, ProgressMeter, StepTimer
+from avion_tpu.core.train_state import TrainState
+from avion_tpu.data.loader import DataLoader, device_prefetch
+from avion_tpu.parallel import make_mesh, shard_params
+from avion_tpu.parallel.mesh import mesh_from_config
+
+
+@dataclass
+class Run:
+    cfg: TrainConfig
+    mesh: Any
+    state: TrainState
+    tx: Any
+    step: Callable
+    ckpt: Checkpointer
+    logger: MetricLogger
+    start_epoch: int = 0
+
+
+def setup_run(
+    cfg: TrainConfig,
+    params,
+    tx,
+    step_fn: Callable,
+    *,
+    state_extras: Optional[dict] = None,
+    use_ema: bool = False,
+) -> Run:
+    mesh = mesh_from_config(cfg.mesh)
+    with jax.set_mesh(mesh):
+        params = shard_params(params, mesh)
+        state = TrainState.create(params, tx, use_ema=use_ema)
+    ckpt = Checkpointer(os.path.join(cfg.output_dir, "ckpt"))
+    logger = MetricLogger(cfg.output_dir, cfg.wandb, cfg.wandb_project,
+                          cfg.run_name, cfg.to_dict())
+
+    start_epoch = 0
+    if cfg.resume or cfg.auto_resume:
+        restored, extra = ckpt.restore(state)
+        if restored is not None:
+            state = restored
+            start_epoch = (extra or {}).get("epoch", 0)
+            print(f"[resume] restored step {int(state.step)} "
+                  f"(epoch {start_epoch})")
+
+    step = jax.jit(step_fn, donate_argnums=(0,))
+    return Run(cfg, mesh, state, tx, step, ckpt, logger, start_epoch)
+
+
+def train_one_epoch(
+    run: Run,
+    loader,
+    epoch: int,
+    rng,
+    extra_batch_fn: Optional[Callable] = None,
+    niter_override: Optional[int] = None,
+) -> Dict[str, float]:
+    cfg = run.cfg
+    meters = {
+        "loss": AverageMeter("loss", ":.4f"),
+    }
+    timer = StepTimer()
+    n_batches = niter_override or (len(loader) if hasattr(loader, "__len__") else 0)
+    progress = ProgressMeter(
+        n_batches,
+        [timer.batch_time, timer.data_time, meters["loss"]],
+        prefix=f"Epoch [{epoch}] ",
+    )
+
+    it = device_prefetch(loader, run.mesh, depth=2, transform=extra_batch_fn)
+    last_metrics: Dict[str, float] = {}
+    with jax.set_mesh(run.mesh):
+        for i, batch in enumerate(it):
+            timer.mark_data()
+            run.state, metrics = run.step(run.state, batch, rng)
+            # host fetch synchronizes (remote-tunnel backends do not block
+            # in block_until_ready) and feeds the meters
+            loss = float(metrics["loss"])
+            timer.mark_step()
+            meters["loss"].update(loss)
+            for k, v in metrics.items():
+                if k == "loss":
+                    continue
+                meters.setdefault(k, AverageMeter(k, ":.4f")).update(float(v))
+            if i % cfg.print_freq == 0:
+                progress.display(i)
+                run.logger.log(
+                    {"train/loss": loss, "train/epoch": epoch,
+                     **{f"train/{k}": float(v) for k, v in metrics.items()
+                        if k != "loss"},
+                     **{f"perf/{k}": v for k, v in timer.stats().items()}},
+                    step=int(run.state.step),
+                )
+            if niter_override and i + 1 >= niter_override:
+                break
+    last_metrics = {k: m.avg for k, m in meters.items()}
+    last_metrics.update(timer.stats())
+    return last_metrics
+
+
+def save_epoch(run: Run, epoch: int, metrics: Optional[dict] = None,
+               is_best: bool = False):
+    run.ckpt.save(
+        int(run.state.step), run.state,
+        extra={"epoch": epoch + 1, "config": run.cfg.to_dict(),
+               "metrics": metrics or {}, "is_best": is_best},
+    )

@@ -1,0 +1,172 @@
+"""CLIP dual-encoder contrastive pretraining entry point.
+
+TPU-native counterpart of ``scripts/main_lavila_pretrain.py``: Ego4D
+video-text contrastive training with fused-decode input, gathered
+InfoNCE (pjit-global), cosine LR, bf16, checkpoint/resume, and the
+zero-shot validation fan-out.
+
+Usage::
+
+    python -m avion_tpu.train.pretrain_clip \
+        model.name=CLIP_VITB16 data.root=$ROOT \
+        data.train_metadata=$TRAIN_METADATA optim.epochs=5
+
+Dataset paths fall back to the same environment variables the
+reference reads via dotenv (``main_lavila_pretrain.py:44-73``):
+ROOT, ROOT_VAL, TRAIN_METADATA, VAL_METADATA, RELEVANCY_PATH.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import numpy as np
+
+from avion_tpu.core.config import TrainConfig
+from avion_tpu.data.datasets import AugmentSpec, VideoCaptionDataset
+from avion_tpu.data.loader import DataLoader
+from avion_tpu.models import create_model
+from avion_tpu.optim import build_optimizer
+from avion_tpu.train.loop import save_epoch, setup_run, train_one_epoch
+from avion_tpu.train.steps import make_clip_train_step
+
+
+def env_defaults(cfg: TrainConfig) -> TrainConfig:
+    d = cfg.data
+    d.root = d.root or os.environ.get("ROOT", "")
+    d.root_val = d.root_val or os.environ.get("ROOT_VAL", d.root)
+    d.train_metadata = d.train_metadata or os.environ.get("TRAIN_METADATA", "")
+    d.val_metadata = d.val_metadata or os.environ.get("VAL_METADATA", "")
+    d.relevancy_path = d.relevancy_path or os.environ.get("RELEVANCY_PATH", "")
+    return cfg
+
+
+def build_model_and_state(cfg: TrainConfig, niter_per_ep: int):
+    m = cfg.model
+    model = create_model(
+        m.name,
+        num_frames=cfg.data.clip_length,
+        project_embed_dim=m.project_embed_dim,
+        use_quick_gelu=m.use_quick_gelu,
+        use_flash_attn=m.use_flash_attn,
+        use_grad_checkpointing=m.use_grad_checkpointing,
+        patch_dropout=m.patch_dropout,
+        pooling=m.pooling,
+        freeze_temperature=m.freeze_temperature,
+        temperature_init=m.temperature_init,
+    )
+    rng = jax.random.PRNGKey(cfg.seed)
+    import jax.numpy as jnp
+
+    video = jnp.zeros(
+        (2, cfg.data.clip_length, model.image_size, model.image_size, 3),
+        jnp.bfloat16,
+    )
+    text = jnp.zeros((2, model.context_length), jnp.int32)
+    params = jax.jit(model.init)(rng, video, text)["params"]
+
+    if cfg.pretrain_model:  # e.g. OpenAI CLIP weights or AVION .pt ckpt
+        from avion_tpu.models.pt_import import import_clip_pt, merge_into_params
+
+        imported = import_clip_pt(
+            cfg.pretrain_model, num_frames=cfg.data.clip_length,
+            context_length=model.context_length,
+            vocab_size=model.vocab_size,
+        )
+        params = merge_into_params(params, imported, strict=False)
+        print(f"[init] imported weights from {cfg.pretrain_model}")
+
+    tx, schedule = build_optimizer(cfg.optim, params, niter_per_ep,
+                                   num_layers=m.vision_layers)
+    return model, params, tx
+
+
+def build_loaders(cfg: TrainConfig):
+    d = cfg.data
+    train_ds = VideoCaptionDataset(
+        d.dataset, d.root, d.train_metadata,
+        is_training=True, clip_length=d.clip_length, chunk_len=d.chunk_len,
+        fps=d.fps, threads=d.decode_threads,
+        augment=AugmentSpec(
+            crop_size=d.crop_size, mode="rrc", scale_min=d.scale_min,
+            scale_max=d.scale_max, hflip_prob=d.hflip_prob,
+            vflip_prob=d.vflip_prob,
+        ),
+    )
+    train_loader = DataLoader(
+        train_ds, d.batch_size, shuffle=True, drop_last=True,
+        num_workers=d.num_workers, prefetch_depth=d.prefetch_depth,
+        seed=cfg.seed,
+    )
+    return train_ds, train_loader
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    cfg = env_defaults(TrainConfig().apply_overrides(argv))
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    cfg.save(os.path.join(cfg.output_dir, "config.json"))
+
+    train_ds, train_loader = build_loaders(cfg)
+    niter = max(1, len(train_loader))
+    model, params, tx = build_model_and_state(cfg, niter)
+    step_fn = make_clip_train_step(
+        model, tx, label_smoothing=cfg.label_smoothing)
+    run = setup_run(cfg, params, tx, step_fn)
+
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+    best = -1.0
+    for epoch in range(run.start_epoch, cfg.optim.epochs):
+        train_loader.set_epoch(epoch)
+        metrics = train_one_epoch(run, train_loader, epoch, rng)
+        print(f"[epoch {epoch}] " + " ".join(
+            f"{k}={v:.4f}" for k, v in metrics.items()))
+        eval_metrics = {}
+        if cfg.eval_freq and (epoch + 1) % cfg.eval_freq == 0:
+            eval_metrics = run_validation(cfg, model, run)
+            run.logger.log(eval_metrics, step=int(run.state.step))
+        score = eval_metrics.get("test_ek100_mir_avg_map", metrics.get("clip_acc", 0))
+        is_best = score > best
+        best = max(best, score)
+        if (epoch + 1) % cfg.save_freq == 0 or epoch + 1 == cfg.optim.epochs:
+            save_epoch(run, epoch, {**metrics, **eval_metrics}, is_best)
+    run.ckpt.wait()
+    run.logger.finish()
+
+
+def run_validation(cfg: TrainConfig, model, run):
+    """Zero-shot validation fan-out (``avion/utils/validate.py``); runs
+    whichever suites have their data configured."""
+    from avion_tpu.eval.runners import CLIPEncoders, validate_all, validate_mir
+
+    with jax.set_mesh(run.mesh):
+        params = jax.device_get(run.state.params)
+    encoders = CLIPEncoders(model, params, batch=cfg.data.val_batch_size)
+    suites = {}
+    d = cfg.data
+    if d.val_metadata and d.relevancy_path and os.path.exists(d.relevancy_path):
+        import pandas as pd
+        import pickle
+
+        def mir():
+            val_ds = VideoCaptionDataset(
+                "ek100_mir", d.root_val, d.val_metadata, is_training=False,
+                clip_length=d.clip_length, chunk_len=d.chunk_len,
+                augment=AugmentSpec(crop_size=d.crop_size, mode="center"),
+            )
+            loader = DataLoader(val_ds, d.val_batch_size, shuffle=False,
+                                drop_last=False, num_workers=d.num_workers)
+            rel = pickle.load(open(d.relevancy_path, "rb"))
+            video_ids = pd.read_csv(d.val_metadata).values[:, 0]
+            text_ids = pd.read_csv(
+                d.val_metadata.replace("test", "test_sentence")).values[:, 0]
+            return validate_mir(encoders, loader, rel, video_ids, text_ids)
+
+        suites["ek100_mir"] = mir
+    return validate_all(encoders, suites)
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,18 @@ from avion_tpu.losses.losses import (
 LOGIT_SCALE_MAX = 4.6052  # ln(100); scripts/main_lavila_pretrain.py:880
 
 
+def prep_video(video, mean=None, std=None, dtype=jnp.bfloat16):
+    """Normalize uint8 device batches in-graph (the reference's kornia
+    GPU normalize, ``main_lavila_pretrain.py:430-435``); float inputs
+    pass through (already normalized, e.g. in tests)."""
+    if video.dtype == jnp.uint8:
+        from avion_tpu.data.transforms import OPENAI_MEAN, OPENAI_STD, normalize_video
+
+        return normalize_video(video, mean if mean is not None else OPENAI_MEAN,
+                               std if std is not None else OPENAI_STD, dtype)
+    return video
+
+
 def _clamp_logit_scale(params):
     if "logit_scale" in params:
         params = dict(params)
@@ -58,7 +70,7 @@ def make_clip_train_step(
 
         def loss_fn(params):
             out = model.apply(
-                {"params": params}, batch["video"], batch["text"],
+                {"params": params}, prep_video(batch["video"]), batch["text"],
                 False,
                 rngs={"dropout": dropout_rng, "patch_dropout": pd_rng},
             )
@@ -90,8 +102,8 @@ def make_mir_finetune_step(model, tx, margin: float = 0.2) -> Callable:
 
         def loss_fn(params):
             out = model.apply(
-                {"params": params}, batch["video"], batch["text"], False,
-                rngs={"dropout": rng, "patch_dropout": rng},
+                {"params": params}, prep_video(batch["video"]), batch["text"],
+                False, rngs={"dropout": rng, "patch_dropout": rng},
             )
             d = max_margin_ranking_loss(
                 out["image_embed"], out["text_embed"], margin=margin
@@ -127,7 +139,7 @@ def make_cls_train_step(
 
         def loss_fn(params):
             logits = model.apply(
-                {"params": params}, batch["video"], False,
+                {"params": params}, prep_video(batch["video"]), False,
                 rngs={"dropout": rng},
             )
             label = batch["label"]
@@ -175,11 +187,14 @@ def make_videomae_train_step(
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
+            from avion_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+            video = prep_video(batch["video"], IMAGENET_MEAN, IMAGENET_STD)
             pred, masked_idx = model.apply(
-                {"params": params}, batch["video"], batch["mask"], False,
+                {"params": params}, video, batch["mask"], False,
                 rngs={"dropout": rng},
             )
-            d = videomae_loss(pred, batch["video"], masked_idx, patch_size,
+            d = videomae_loss(pred, video, masked_idx, patch_size,
                               tubelet_size, normalize_target)
             return d["loss"], d
 
