@@ -23,5 +23,7 @@ class TrainState:
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=tx.init(params),
-            ema_params=jax.tree_util.tree_map(lambda x: x, params) if use_ema else None,
+            # materialize a distinct copy: aliasing params would donate
+            # the same buffer twice in a donated step
+            ema_params=jax.tree_util.tree_map(jnp.copy, params) if use_ema else None,
         )

@@ -131,7 +131,7 @@ class VideoCaptionDataset:
             if len(pos):
                 j = int(rng.choice(pos))
                 if j < len(self.sentences) and j < self.relevancy_mat.shape[1]:
-                    caption = self.sentences.iloc[j][1]
+                    caption = self.sentences.iloc[j, 1]
                     relevancy = float(self.relevancy_mat[i][j])
         if isinstance(caption, list):
             if self.narration_selection == "random":

@@ -112,8 +112,8 @@ def load_ek100_mir_extras(metadata: str):
     (``clip_dataset.py:240-270``)."""
     import pandas as pd
 
-    sentences = pd.read_csv(metadata[: metadata.index(".csv")] + "_sentence.csv")
-    split = "train" if "train" in metadata else "test"
+    sentences = pd.read_csv(metadata[: metadata.rindex(".csv")] + "_sentence.csv")
+    split = "train" if "train" in osp.basename(metadata) else "test"
     rel_path = osp.join(
         osp.dirname(metadata), "relevancy",
         f"caption_relevancy_EPIC_100_retrieval_{split}.pkl",

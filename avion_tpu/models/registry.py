@@ -125,6 +125,38 @@ def _clip_tiny(
     )
 
 
+@register_model("VIDEOMAE_TINY")
+def _videomae_tiny(num_frames: int = 4, use_flash_attn: bool = False,
+                   mask_ratio: float = 0.5, dtype=None, **_unused):
+    """Miniature VideoMAE for smoke tests / CI (not in the reference)."""
+    import jax.numpy as jnp
+
+    from avion_tpu.models.videomae import PretrainVideoMAE
+
+    return PretrainVideoMAE(
+        image_size=32, patch_size=16, num_frames=num_frames, tubelet_size=2,
+        encoder_width=48, encoder_layers=1, encoder_heads=2,
+        decoder_width=32, decoder_layers=1, decoder_heads=2,
+        mask_ratio=mask_ratio, use_flash=use_flash_attn,
+        dtype=dtype if dtype is not None else jnp.float32,
+    )
+
+
+@register_model("VIDEOMAE_TINY_FT")
+def _videomae_tiny_ft(num_frames: int = 4, num_classes: int = 10,
+                      use_flash_attn: bool = False, dtype=None, **_unused):
+    import jax.numpy as jnp
+
+    from avion_tpu.models.videomae import FinetuneVideoMAE
+
+    return FinetuneVideoMAE(
+        image_size=32, patch_size=16, num_frames=num_frames, tubelet_size=2,
+        width=48, layers=1, heads=2, num_classes=num_classes,
+        use_flash=use_flash_attn,
+        dtype=dtype if dtype is not None else jnp.float32,
+    )
+
+
 @register_model("VIDEOMAE_VITB16")
 def _videomae_vitb16(
     num_frames: int = 16,
@@ -132,6 +164,7 @@ def _videomae_vitb16(
     use_grad_checkpointing: bool = False,
     decoder_depth: int = 4,
     drop_path_rate: float = 0.0,
+    mask_ratio: float = 0.9,
     dtype=None,
     **_unused,
 ):
@@ -143,7 +176,7 @@ def _videomae_vitb16(
         image_size=224, patch_size=16, num_frames=num_frames,
         encoder_width=768, encoder_layers=12, encoder_heads=12,
         decoder_width=384, decoder_layers=decoder_depth, decoder_heads=6,
-        tubelet_size=2, use_flash=use_flash_attn,
+        tubelet_size=2, mask_ratio=mask_ratio, use_flash=use_flash_attn,
         remat=use_grad_checkpointing, drop_path_rate=drop_path_rate,
         dtype=dtype if dtype is not None else jnp.bfloat16,
     )

@@ -118,10 +118,24 @@ def train_one_epoch(
     return last_metrics
 
 
+def _jsonable(obj):
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, (np.bool_, bool)):
+        return bool(obj)
+    if isinstance(obj, (np.integer, int)):
+        return int(obj)
+    if isinstance(obj, (np.floating, float)):
+        return float(obj)
+    return obj
+
+
 def save_epoch(run: Run, epoch: int, metrics: Optional[dict] = None,
                is_best: bool = False):
     run.ckpt.save(
         int(run.state.step), run.state,
-        extra={"epoch": epoch + 1, "config": run.cfg.to_dict(),
-               "metrics": metrics or {}, "is_best": is_best},
+        extra=_jsonable({"epoch": epoch + 1, "config": run.cfg.to_dict(),
+                         "metrics": metrics or {}, "is_best": is_best}),
     )

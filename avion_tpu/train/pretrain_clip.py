@@ -160,8 +160,10 @@ def run_validation(cfg: TrainConfig, model, run):
                                 drop_last=False, num_workers=d.num_workers)
             rel = pickle.load(open(d.relevancy_path, "rb"))
             video_ids = pd.read_csv(d.val_metadata).values[:, 0]
-            text_ids = pd.read_csv(
-                d.val_metadata.replace("test", "test_sentence")).values[:, 0]
+            sent_csv = os.path.join(
+                os.path.dirname(d.val_metadata),
+                os.path.basename(d.val_metadata).replace("test", "test_sentence"))
+            text_ids = pd.read_csv(sent_csv).values[:, 0]
             return validate_mir(encoders, loader, rel, video_ids, text_ids)
 
         suites["ek100_mir"] = mir

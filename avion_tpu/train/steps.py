@@ -130,19 +130,26 @@ def make_cls_train_step(
     tx,
     label_smoothing: float = 0.0,
     ema_decay: Optional[float] = None,
+    mixup_fn: Optional[Callable] = None,
 ) -> Callable:
     """Classification finetune step; batch["label"] is either int labels
-    or a soft-target distribution (mixup/cutmix already applied)."""
+    or a soft-target distribution.  ``mixup_fn(key, video, labels) ->
+    (video, soft_targets)`` runs on device inside the jitted step
+    (replacing timm Mixup on GPU, ``main_lavila_finetune_cls.py:320-339``)."""
 
     def step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
+        mix_rng, rng = jax.random.split(rng)
 
         def loss_fn(params):
+            video = prep_video(batch["video"])
+            label = batch["label"]
+            if mixup_fn is not None and label.ndim == 1:
+                video, label = mixup_fn(mix_rng, video, label)
             logits = model.apply(
-                {"params": params}, prep_video(batch["video"]), False,
+                {"params": params}, video, False,
                 rngs={"dropout": rng},
             )
-            label = batch["label"]
             if label.ndim == logits.ndim:
                 loss = soft_target_cross_entropy(logits, label)
                 hard = jnp.argmax(label, axis=-1)
