@@ -30,6 +30,17 @@ from avion_tpu.data.transforms import (
 from avion_tpu.data.video_reader import CropSpec, DecodeError, VideoReader
 
 
+class _PicklableCache:
+    """Drops unpicklable native-reader caches when crossing process
+    boundaries (forkserver/spawn loader workers)."""
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        if "_cache" in state:
+            state["_cache"] = {}
+        return state
+
+
 @dataclass
 class AugmentSpec:
     """Per-dataset augmentation policy (mirrors the reference's
@@ -58,7 +69,7 @@ class AugmentSpec:
         return CropSpec()
 
 
-class VideoCaptionDataset:
+class VideoCaptionDataset(_PicklableCache):
     """CLIP contrastive dataset (ego4d / ek100_mir)
     (``VideoCaptionDatasetCLIP``, ``clip_dataset.py:653-721``)."""
 
@@ -145,7 +156,7 @@ class VideoCaptionDataset:
         }
 
 
-class VideoClassyDataset:
+class VideoClassyDataset(_PicklableCache):
     """Classification dataset over the caption datasets' video layouts
     (``VideoClassyDataset``, ``clip_dataset.py:724-791``)."""
 
@@ -246,7 +257,7 @@ class VideoClassyDataset:
         return {"video": video, "label": self._label(s)}
 
 
-class VideoCaptionMCQDataset:
+class VideoCaptionMCQDataset(_PicklableCache):
     """EgoMCQ 5-way multiple choice (``VideoCaptionDatasetMCQ``,
     ``clip_dataset.py:794-883``)."""
 
@@ -292,7 +303,7 @@ class VideoCaptionMCQDataset:
         }
 
 
-class KineticsDataset:
+class KineticsDataset(_PicklableCache):
     """VideoMAE pretrain dataset: strided clips + tube masks
     (``avion/data/kinetics_dataset.py``)."""
 

@@ -89,8 +89,14 @@ class DataLoader:
                     yield collate([self.dataset[int(i)] for i in idx])
             else:
                 if self._pool is None:
+                    # forkserver: workers never inherit JAX's thread pool
+                    # (fork after XLA init can deadlock); the dataset is
+                    # pickled once into each worker.
+                    import multiprocessing as mp
+
                     self._pool = ProcessPoolExecutor(
                         max_workers=self.num_workers,
+                        mp_context=mp.get_context("forkserver"),
                         initializer=_worker_init,
                         initargs=(self.dataset,),
                     )
