@@ -49,12 +49,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale, causal,
                 seq_len, block_q):
     # q_ref: [block_q, D]; k_ref/v_ref: [S_pad, D]; o_ref: [block_q, D]
     # lse_ref: [block_q, 128] (lane-padded; col 0 meaningful)
+    # MXU-native path: keep matmul inputs in their (bf16) storage dtype
+    # with f32 accumulation — casting to f32 *before* the dot runs the
+    # MXU at a fraction of peak.
     qi = pl.program_id(1)
-    q = q_ref[:].astype(jnp.float32) * sm_scale
-    k = k_ref[:].astype(jnp.float32)
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [block_q, S_pad]
+        q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale  # [block_q, S_pad] f32
     s_pad = k_ref.shape[0]
 
     col = jax.lax.broadcasted_iota(jnp.int32, (block_q, s_pad), 1)
@@ -70,10 +72,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale, causal,
     lse = m + jnp.log(l)
     lse_ref[:] = jnp.broadcast_to(lse, lse_ref.shape)
 
-    v = v_ref[:].astype(jnp.float32)
     o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) / l
+        (p / l).astype(v_ref.dtype), v_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     o_ref[:] = o.astype(o_ref.dtype)
 
 
@@ -118,11 +120,10 @@ def _fwd(q, k, v, sm_scale, causal, block_q, interpret):
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
                    sm_scale, causal, seq_len, block_q):
     qi = pl.program_id(1)
-    q = q_ref[:].astype(jnp.float32) * sm_scale
-    k = k_ref[:].astype(jnp.float32)
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+        q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
     s_pad = k_ref.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (block_q, s_pad), 1)
     mask = col < seq_len
@@ -133,15 +134,14 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
 
     lse = lse_ref[:, 0:1]
     p = jnp.exp(s - lse)  # [block_q, S_pad]
-    do = do_ref[:].astype(jnp.float32)
-    v = v_ref[:].astype(jnp.float32)
     dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        do_ref[:], v_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )  # [block_q, S_pad]
     delta = delta_ref[:, 0:1]
-    ds = p * (dp - delta)
+    ds = (p * (dp - delta)).astype(k_ref.dtype)
     dq = jax.lax.dot_general(
-        ds, k_ref[:].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        ds, k_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * sm_scale
     dq_ref[:] = dq.astype(dq_ref.dtype)
@@ -150,11 +150,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, *, sm_scale, causal, seq_len, block_k):
     ki = pl.program_id(1)
-    k = k_ref[:].astype(jnp.float32)
-    q = q_ref[:].astype(jnp.float32)
     # scores^T : [block_k, S_pad_q]
     st = jax.lax.dot_general(
-        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        k_ref[:], q_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ) * sm_scale
     s_pad_q = q_ref.shape[0]
     qcol = jax.lax.broadcasted_iota(jnp.int32, (block_k, s_pad_q), 1)
@@ -166,19 +165,20 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         mask = jnp.logical_and(mask, kabs <= qcol)
     lse = lse_ref[0:1, :]  # [1, S_pad_q] (row layout, no in-kernel transpose)
     pt = jnp.where(mask, jnp.exp(st - lse), 0.0)
-    do = do_ref[:].astype(jnp.float32)
     dv = jax.lax.dot_general(
-        pt, do, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        pt.astype(do_ref.dtype), do_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     dv_ref[:] = dv.astype(dv_ref.dtype)
-    v = v_ref[:].astype(jnp.float32)
     dpt = jax.lax.dot_general(
-        v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        v_ref[:], do_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )  # [block_k, S_pad_q]
     delta = delta_ref[0:1, :]
-    dst = pt * (dpt - delta)
+    dst = (pt * (dpt - delta)).astype(q_ref.dtype)
     dk = jax.lax.dot_general(
-        dst, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        dst, q_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ) * sm_scale
     dk_ref[:] = dk.astype(dk_ref.dtype)
 

@@ -1,0 +1,130 @@
+"""LLM narration refinement pipeline (offline dataset factory).
+
+Counterpart of ``second_party/qwen3vl/vllm_refine.py`` + the merge
+scripts (``merge_results.py``): re-localize caption temporal boundaries
+within chunked video using a vision-language LLM, then rebuild the
+training pkl.  The LLM call is pluggable — the reference drives a vLLM
+server with Qwen3-VL; here any callable ``infer(frames, caption) ->
+{"start": s, "end": e, "caption": str}`` works (an OpenAI-compatible
+HTTP endpoint, a local transformers pipeline, ...), so the data-side
+logic is testable without model weights.
+
+The refinement prompt contract (``vllm_refine.py:30-58``): the model
+sees uniformly sampled frames of a window around the annotated clip and
+must return tightened boundaries + optionally a rewritten caption.
+"""
+
+from __future__ import annotations
+
+import json
+import os.path as osp
+import pickle
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+REFINE_PROMPT = (
+    "You are given {n} frames uniformly sampled from a {window:.0f}-second "
+    "egocentric video window. The annotated narration is: \"{caption}\" "
+    "with annotated span [{start:.1f}s, {end:.1f}s] inside this window. "
+    "Return JSON {{\"start\": <sec>, \"end\": <sec>, \"caption\": <str>}} "
+    "with the tightest span in which the narrated action is visible."
+)
+
+
+@dataclass
+class RefineItem:
+    vid: str
+    start: float
+    end: float
+    caption: str
+    window_start: float = 0.0
+    window_end: float = 0.0
+
+
+def build_refine_items(samples: Sequence, window_pad: float = 7.5) -> List[RefineItem]:
+    """Expand each (vid, start, end, caption) row with a padded context
+    window (the reference works on 15-second chunk windows)."""
+    items = []
+    for row in samples:
+        vid, start, end, caption = row[0], float(row[1]), float(row[2]), row[3]
+        if isinstance(caption, list):
+            caption = caption[0] if caption else ""
+        items.append(RefineItem(
+            vid=vid, start=start, end=end, caption=str(caption),
+            window_start=max(0.0, start - window_pad),
+            window_end=end + window_pad,
+        ))
+    return items
+
+
+def refine_samples(
+    items: Sequence[RefineItem],
+    infer: Callable[[RefineItem], Optional[dict]],
+    *,
+    reject_outside_window: bool = True,
+) -> List[dict]:
+    """Run the pluggable LLM on each item; sanitize outputs (clamp into
+    the window, drop inverted spans) like the merge scripts do."""
+    results = []
+    for i, item in enumerate(items):
+        out = None
+        try:
+            out = infer(item)
+        except Exception:
+            out = None
+        rec = {"index": i, "vid": item.vid, "orig_start": item.start,
+               "orig_end": item.end, "caption": item.caption,
+               "refined": False}
+        if out and "start" in out and "end" in out:
+            s, e = float(out["start"]), float(out["end"])
+            if reject_outside_window:
+                s = max(item.window_start, min(s, item.window_end))
+                e = max(item.window_start, min(e, item.window_end))
+            if e > s:
+                rec.update(start=s, end=e, refined=True,
+                           caption=out.get("caption", item.caption))
+        if not rec["refined"]:
+            rec.update(start=item.start, end=item.end)
+        results.append(rec)
+    return results
+
+
+def merge_to_train_pkl(
+    results: Sequence[dict],
+    output_path: str,
+    *,
+    variant: str = "standard",
+    scale: float = 1.0,
+) -> int:
+    """Rebuild a training pkl from refinement results
+    (``merge_results.py`` variants: standard / scaled / keep-original).
+
+    - standard: use refined spans where available
+    - scaled: additionally scale refined spans around their center
+    - original: keep original spans (control arm)
+    """
+    rows = []
+    for r in results:
+        s, e = r["start"], r["end"]
+        if variant == "scaled" and r["refined"]:
+            c, h = (s + e) / 2, (e - s) / 2 * scale
+            s, e = max(0.0, c - h), c + h
+        elif variant == "original":
+            s, e = r["orig_start"], r["orig_end"]
+        rows.append((r["vid"], s, e, r["caption"]))
+    with open(output_path, "wb") as f:
+        pickle.dump(rows, f)
+    return len(rows)
+
+
+def make_json_line_writer(path: str):
+    """Streaming result sink (vLLM batch jobs write JSONL)."""
+    f = open(path, "a")
+
+    def write(rec: dict):
+        f.write(json.dumps(rec) + "\n")
+        f.flush()
+
+    return write

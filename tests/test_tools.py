@@ -1,0 +1,160 @@
+import csv
+import pickle
+
+import numpy as np
+import pytest
+
+from avion_tpu.tools.alignment_ablation import (
+    augment_ego4d_pkl,
+    augment_ek100_csv,
+    perturb_window,
+)
+from avion_tpu.tools.dataset_tools import (
+    dataset_statistics,
+    dedup_consecutive_captions,
+    hierarchical_merge,
+    subset_metadata,
+)
+from avion_tpu.tools.narration_refinement import (
+    RefineItem,
+    build_refine_items,
+    merge_to_train_pkl,
+    refine_samples,
+)
+from avion_tpu.tools.refinement_eval import evaluate_refinement, interval_iou
+from avion_tpu.tools.metrics_extractor import peak_metrics
+
+
+def test_perturb_window_modes():
+    assert perturb_window(10, 20, "add", 2) == (8, 22)
+    s, e = perturb_window(10, 20, "scale", 2.0)
+    assert (s, e) == (5, 25)
+    assert perturb_window(10, 20, "shift", 5) == (15, 25)
+    s, e = perturb_window(1, 3, "add", 5)
+    assert s == 0.0  # clamped
+
+
+def test_augment_pkl_roundtrip(tmp_path):
+    rows = [("vid1", 5.0, 8.0, "caption a"), ("vid2", 0.5, 2.0, ["x", "y"])]
+    inp = str(tmp_path / "in.pkl")
+    out = str(tmp_path / "out.pkl")
+    pickle.dump(rows, open(inp, "wb"))
+    n = augment_ego4d_pkl(inp, out, "add", 1.0)
+    assert n == 2
+    new = pickle.load(open(out, "rb"))
+    assert new[0][1] == 4.0 and new[0][2] == 9.0
+    assert new[1][3] == ["x", "y"]
+
+
+def test_augment_ek100_csv(tmp_path):
+    inp = str(tmp_path / "in.csv")
+    out = str(tmp_path / "out.csv")
+    with open(inp, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["id", "pid", "vid", "ts", "start", "stop", "a", "b"])
+        w.writerow(["0", "P01", "P01_01", "x", "00:00:10.00",
+                    "00:00:20.00", "1", "2"])
+    augment_ek100_csv(inp, out, "scale", 1.5)
+    rows = list(csv.reader(open(out)))
+    from avion_tpu.data.metadata import datetime2sec
+
+    assert abs(datetime2sec(rows[1][4]) - 7.5) < 0.01
+    assert abs(datetime2sec(rows[1][5]) - 22.5) < 0.01
+
+
+def test_refinement_pipeline(tmp_path):
+    samples = [("v1", 10.0, 14.0, "opens door"), ("v2", 5.0, 6.0, "closes")]
+    items = build_refine_items(samples, window_pad=5.0)
+    assert items[0].window_start == 5.0
+
+    def fake_llm(item):
+        if item.vid == "v1":
+            return {"start": 11.0, "end": 13.0, "caption": "opens the door"}
+        return {"start": 99.0, "end": 98.0}  # inverted -> rejected
+
+    results = refine_samples(items, fake_llm)
+    assert results[0]["refined"] and results[0]["start"] == 11.0
+    assert not results[1]["refined"]
+    assert results[1]["start"] == 5.0  # falls back to original
+
+    out = str(tmp_path / "train.pkl")
+    n = merge_to_train_pkl(results, out)
+    rows = pickle.load(open(out, "rb"))
+    assert n == 2 and rows[0][1] == 11.0
+    merge_to_train_pkl(results, out, variant="scaled", scale=2.0)
+    rows = pickle.load(open(out, "rb"))
+    assert rows[0][1] == 10.0 and rows[0][2] == 14.0  # 2s span scaled x2
+
+
+def test_refinement_eval():
+    refined = {"a": (0.0, 10.0), "b": (0.0, 10.0)}
+    annotated = {"a": (0.0, 10.0), "b": (20.0, 30.0), "c": (0, 1)}
+    out = evaluate_refinement(refined, annotated)
+    assert out["n_matched"] == 2
+    assert out["mean_iou"] == pytest.approx(0.5)
+    assert out["recall@0.5"] == pytest.approx(0.5)
+    assert interval_iou((0, 4), (2, 6)) == pytest.approx(2 / 6)
+
+
+def test_subset_and_statistics(tmp_path):
+    rows = [(f"v{i}", i, i + 2.0, f"cap {i}") for i in range(10)]
+    inp = str(tmp_path / "m.pkl")
+    pickle.dump(rows, open(inp, "wb"))
+    out = str(tmp_path / "s.pkl")
+    assert subset_metadata(inp, out, stride=2) == 5
+    assert subset_metadata(inp, out, fraction=0.3) == 3
+    stats = dataset_statistics(rows)
+    assert stats["n_samples"] == 10
+    assert stats["duration_mean"] == pytest.approx(2.0)
+
+
+def test_dedup_and_hierarchical_merge():
+    rows = [
+        ("v1", 0.0, 2.0, "opens the drawer"),
+        ("v1", 2.5, 4.0, "opens the drawer"),   # near-dup, merged
+        ("v1", 10.0, 12.0, "washes hands"),
+    ]
+    merged = dedup_consecutive_captions(rows)
+    assert len(merged) == 2
+    assert merged[0][2] == 4.0
+
+    def merge_fn(a, b):
+        return f"{a}; then {b}"
+
+    h = hierarchical_merge(rows, merge_fn, max_gap=1.0)
+    assert any("then" in str(r[3]) for r in h)
+
+
+def test_peak_metrics():
+    records = [{"step": 1, "m": 0.5}, {"step": 2, "m": 0.9},
+               {"step": 3, "m": 0.7}]
+    out = peak_metrics(records, ["m"], "max")
+    assert out["m"] == 0.9 and out["m_step"] == 2
+    out = peak_metrics(records, ["m"], "final")
+    assert out["m"] == 0.7
+
+
+def test_narrator_windowing(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    path = str(tmp_path / "v.mp4")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (32, 32))
+    for i in range(40):
+        vw.write(np.full((32, 32, 3), i * 6, np.uint8))
+    vw.release()
+
+    calls = []
+
+    def fake_captioner(frames):
+        calls.append(frames.shape)
+        return [f"caption {len(calls)}", "alt"]
+
+    from avion_tpu.tools.narrator import narrate_dataset
+
+    out = str(tmp_path / "narr.pkl")
+    n = narrate_dataset([path], fake_captioner, out, window_sec=2.0,
+                        stride_sec=2.0, clip_length=2, crop_size=32,
+                        dedup_threshold=1.1)
+    rows = pickle.load(open(out, "rb"))
+    assert n == len(rows) == 2  # 4s video, 2s windows
+    assert rows[0][0] == "v"
+    assert isinstance(rows[0][3], list) and len(rows[0][3]) == 2
