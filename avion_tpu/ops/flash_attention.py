@@ -40,31 +40,48 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# VMEM budget for the [block_q, S_pad] f32 score tile; the rest of the
+# ~16MB VMEM holds q/k/v blocks and pipeline double-buffers.
+_SCORE_TILE_BYTES = 4 * 1024 * 1024
+
+
+def _auto_block_q(s_pad: int) -> int:
+    """Largest q block (multiple of 128, capped at the full padded
+    sequence) whose score tile fits the VMEM budget.  ViT-scale
+    sequences (~800) fit whole — one program per (batch, head), which
+    amortizes program-launch overhead that otherwise dominates at these
+    small head dims."""
+    cap = max(128, (_SCORE_TILE_BYTES // (4 * s_pad)) // 128 * 128)
+    return min(_ceil_to(s_pad, 128), cap)
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale, causal,
-                seq_len, block_q):
-    # q_ref: [block_q, D]; k_ref/v_ref: [S_pad, D]; o_ref: [block_q, D]
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, sm_scale,
+                causal, seq_len, block_q):
+    # q_ref: [block_q, D]; k_ref/v_ref: [S_pad, D]; bias_ref: [8, S_pad]
+    # (row 0 = 0/-inf padding bias); o_ref: [block_q, D];
     # lse_ref: [block_q, 128] (lane-padded; col 0 meaningful)
     # MXU-native path: keep matmul inputs in their (bf16) storage dtype
     # with f32 accumulation — casting to f32 *before* the dot runs the
-    # MXU at a fraction of peak.
+    # MXU at a fraction of peak.  Padding is handled by ONE bias add
+    # (precomputed row) instead of iota+compare+select — the kernel at
+    # these shapes is VPU-bound, so every elementwise pass counts.
     qi = pl.program_id(1)
     s = jax.lax.dot_general(
         q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * sm_scale  # [block_q, S_pad] f32
     s_pad = k_ref.shape[0]
+    s = s + bias_ref[0:1, :]
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, s_pad), 1)
-    mask = col < seq_len
     if causal:
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, s_pad), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (block_q, s_pad), 0)
-        mask = jnp.logical_and(mask, col <= row + qi * block_q)
-    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        s = jnp.where(col <= row + qi * block_q, s, DEFAULT_MASK_VALUE)
 
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -81,11 +98,18 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale, causal,
 
 def _fwd(q, k, v, sm_scale, causal, block_q, interpret):
     bh, s, d = q.shape
+    if block_q is None:
+        block_q = _auto_block_q(_ceil_to(s, 128))
     s_pad_q = _ceil_to(s, block_q)
     s_pad_k = _ceil_to(s, 128)
     qp = jnp.pad(q, ((0, 0), (0, s_pad_q - s), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, s_pad_k - s), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, s_pad_k - s), (0, 0)))
+    bias = jnp.broadcast_to(
+        jnp.where(jnp.arange(s_pad_k) < s, 0.0, DEFAULT_MASK_VALUE
+                  ).astype(jnp.float32)[None, :],
+        (8, s_pad_k),
+    )
     grid = (bh, s_pad_q // block_q)
 
     out, lse = pl.pallas_call(
@@ -98,6 +122,7 @@ def _fwd(q, k, v, sm_scale, causal, block_q, interpret):
             pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
             pl.BlockSpec((None, s_pad_k, d), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((None, s_pad_k, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((8, s_pad_k), lambda b, i: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
@@ -108,7 +133,7 @@ def _fwd(q, k, v, sm_scale, causal, block_q, interpret):
             jax.ShapeDtypeStruct((bh, s_pad_q, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(qp, kp, vp)
+    )(qp, kp, vp, bias)
     return out[:, :s], lse[:, :s, 0]
 
 
@@ -187,6 +212,8 @@ def _bwd(sm_scale, causal, block_q, interpret, res, g):
     q, k, v, out, lse = res
     do = g
     bh, s, d = q.shape
+    if block_q is None:
+        block_q = _auto_block_q(_ceil_to(s, 128))
     block_k = block_q
     s_pad_q = _ceil_to(s, block_q)
     s_pad_k = _ceil_to(s, block_k)
@@ -284,7 +311,7 @@ def flash_attention(
     *,
     causal: bool = False,
     sm_scale: Optional[float] = None,
-    block_q: int = 128,
+    block_q: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Flash attention over [B, S, H, D] tensors (BSHD layout).

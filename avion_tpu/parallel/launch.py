@@ -1,0 +1,92 @@
+"""Multi-host launch + elasticity utilities.
+
+TPU-native replacement for the reference's launch stack (torchrun env
+parsing + SLURM detection in ``avion/utils/distributed.py:75-97`` and
+submitit preemption/requeue in ``scripts/run_with_submit_*.py``):
+
+- ``init_distributed``: initializes ``jax.distributed`` from the
+  environment. On Cloud TPU pods this is fully automatic (each host
+  runs the same command); under SLURM the coordinator is derived from
+  the nodelist; explicit coordinator/num_processes also supported.
+- ``install_preemption_handler``: SIGTERM/SIGUSR1 → flag checked by the
+  train loop to checkpoint and exit 0; paired with auto-resume this
+  gives submitit-style requeue elasticity on preemptible TPUs.
+- ``scripts/launch_tpu_pod.sh`` fans the command out to all pod workers
+  (the torchrun/sbatch analogue).
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import subprocess
+from typing import Optional
+
+_PREEMPTED = {"flag": False}
+
+
+def preempted() -> bool:
+    return _PREEMPTED["flag"]
+
+
+def install_preemption_handler(signals=(signal.SIGTERM, signal.SIGUSR1)):
+    def handler(signum, frame):
+        print(f"[launch] received signal {signum}; will checkpoint and exit")
+        _PREEMPTED["flag"] = True
+
+    for s in signals:
+        signal.signal(s, handler)
+
+
+def _slurm_coordinator() -> Optional[str]:
+    nodelist = os.environ.get("SLURM_JOB_NODELIST", "")
+    if not nodelist:
+        return None
+    try:
+        first = subprocess.run(
+            ["scontrol", "show", "hostnames", nodelist],
+            capture_output=True, text=True, check=True,
+        ).stdout.splitlines()[0]
+        return f"{first}:8476"
+    except Exception:
+        return None
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Initialize jax.distributed; returns process_index.  No-op for
+    single-process runs (the reference's single-GPU fallback,
+    ``distributed.py:83-86``)."""
+    import jax
+
+    if coordinator_address is None and "SLURM_PROCID" in os.environ:
+        coordinator_address = _slurm_coordinator()
+        num_processes = num_processes or int(os.environ.get("SLURM_NTASKS", 1))
+        process_id = process_id if process_id is not None else int(
+            os.environ["SLURM_PROCID"])
+
+    try:
+        if coordinator_address:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        elif os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get(
+                "MEGASCALE_COORDINATOR_ADDRESS"):
+            jax.distributed.initialize()  # TPU pod: autodetected
+    except Exception as e:
+        print(f"[launch] jax.distributed not initialized ({e}); "
+              f"running single-process")
+    return jax.process_index()
+
+
+def seed_for_host(base_seed: int) -> int:
+    """Per-host data seed (the reference seeds per rank,
+    ``distributed.py:9-12``); model init stays host-independent."""
+    import jax
+
+    return base_seed + jax.process_index()

@@ -87,10 +87,19 @@ def train_one_epoch(
         prefix=f"Epoch [{epoch}] ",
     )
 
+    from avion_tpu.parallel.launch import preempted
+
     it = device_prefetch(loader, run.mesh, depth=2, transform=extra_batch_fn)
     last_metrics: Dict[str, float] = {}
     with jax.set_mesh(run.mesh):
         for i, batch in enumerate(it):
+            if preempted():
+                # SIGTERM from the scheduler: checkpoint mid-epoch and
+                # stop; auto-resume picks up from here (submitit-requeue
+                # elasticity, run_with_submit_lavila_pretrain.py:53-59)
+                save_epoch(run, epoch - 1)
+                run.ckpt.wait()
+                break
             timer.mark_data()
             run.state, metrics = run.step(run.state, batch, rng)
             # host fetch synchronizes (remote-tunnel backends do not block

@@ -137,37 +137,14 @@ def main(argv=None):
 
 
 def run_validation(cfg: TrainConfig, model, run):
-    """Zero-shot validation fan-out (``avion/utils/validate.py``); runs
-    whichever suites have their data configured."""
-    from avion_tpu.eval.runners import CLIPEncoders, validate_all, validate_mir
+    """Zero-shot validation fan-out over the five suites
+    (``avion/utils/validate.py``); each suite activates when its data
+    paths are configured (flags or env vars)."""
+    from avion_tpu.eval.validate import run_validation as _run
 
     with jax.set_mesh(run.mesh):
         params = jax.device_get(run.state.params)
-    encoders = CLIPEncoders(model, params, batch=cfg.data.val_batch_size)
-    suites = {}
-    d = cfg.data
-    if d.val_metadata and d.relevancy_path and os.path.exists(d.relevancy_path):
-        import pandas as pd
-        import pickle
-
-        def mir():
-            val_ds = VideoCaptionDataset(
-                "ek100_mir", d.root_val, d.val_metadata, is_training=False,
-                clip_length=d.clip_length, chunk_len=d.chunk_len,
-                augment=AugmentSpec(crop_size=d.crop_size, mode="center"),
-            )
-            loader = DataLoader(val_ds, d.val_batch_size, shuffle=False,
-                                drop_last=False, num_workers=d.num_workers)
-            rel = pickle.load(open(d.relevancy_path, "rb"))
-            video_ids = pd.read_csv(d.val_metadata).values[:, 0]
-            sent_csv = os.path.join(
-                os.path.dirname(d.val_metadata),
-                os.path.basename(d.val_metadata).replace("test", "test_sentence"))
-            text_ids = pd.read_csv(sent_csv).values[:, 0]
-            return validate_mir(encoders, loader, rel, video_ids, text_ids)
-
-        suites["ek100_mir"] = mir
-    return validate_all(encoders, suites)
+    return _run(model, params, cfg.data)
 
 
 if __name__ == "__main__":
