@@ -252,3 +252,23 @@ def _resolve_type(dc_cls, name):
 
     hints = typing.get_type_hints(dc_cls)
     return hints[name]
+
+
+def load_dotenv(path: str = ".env") -> dict:
+    """Minimal ``.env`` loader (the reference uses python-dotenv for its
+    dataset-path env vars, ``avion/utils/misc.py:8-10``); sets only keys
+    not already in the environment."""
+    import os
+
+    loaded = {}
+    if not os.path.exists(path):
+        return loaded
+    for line in open(path):
+        line = line.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        key, value = line.split("=", 1)
+        key, value = key.strip(), value.strip().strip("'\"")
+        loaded[key] = value
+        os.environ.setdefault(key, value)
+    return loaded

@@ -104,6 +104,9 @@ def build_loaders(cfg: TrainConfig):
 
 
 def main(argv=None):
+    from avion_tpu.core.config import load_dotenv
+
+    load_dotenv()  # dataset-path env vars, reference .env convention
     argv = argv if argv is not None else sys.argv[1:]
     cfg = env_defaults(TrainConfig().apply_overrides(argv))
     os.makedirs(cfg.output_dir, exist_ok=True)

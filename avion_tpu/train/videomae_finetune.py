@@ -49,6 +49,9 @@ class AugmentedK400(VideoClassyDataset):
 
 
 def main(argv=None):
+    from avion_tpu.core.config import load_dotenv
+
+    load_dotenv()  # dataset-path env vars, reference .env convention
     argv = argv if argv is not None else sys.argv[1:]
     cfg = TrainConfig().apply_overrides(argv)
     d = cfg.data

@@ -24,6 +24,9 @@ from avion_tpu.train.steps import make_videomae_train_step
 
 
 def main(argv=None):
+    from avion_tpu.core.config import load_dotenv
+
+    load_dotenv()  # dataset-path env vars, reference .env convention
     argv = argv if argv is not None else sys.argv[1:]
     cfg = TrainConfig().apply_overrides(argv)
     cfg.data.dataset = "kinetics"
