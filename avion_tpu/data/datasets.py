@@ -239,15 +239,28 @@ class VideoClassyDataset(_PicklableCache):
             )
             return {"video": frames, "label": self._label(s)}
         # eval: num_clips temporal views x center crop (multi-crop eval
-        # stacking — main_lavila_finetune_cls.py:841-850)
+        # stacking — main_lavila_finetune_cls.py:841-850).  Views are
+        # sub-windows spread over the annotated span (AdaptiveTemporalCrop
+        # semantics, transforms.py:29-52).
         views = []
+        span = s.end - s.start
+        # each view covers span/num_clips seconds when the span is long
+        # enough; otherwise views overlap toward full coverage
+        view_len = span if self.num_clips == 1 else max(
+            span / self.num_clips, min(span, self.clip_length
+                                       * self.clip_stride / max(s.fps, 1)))
         for k in range(self.num_clips):
-            frac = 0.5 if self.num_clips == 1 else k / max(1, self.num_clips - 1)
-            span = s.end - s.start
+            if self.num_clips == 1:
+                vs, ve = s.start, s.end
+            else:
+                max_start = max(0.0, span - view_len)
+                off = k * max_start / max(1, self.num_clips - 1)
+                vs = s.start + off
+                ve = min(s.end, vs + view_len)
             frames = load_clip(
                 self.root, s.vid,
                 "MP4" if self.dataset == "ek100_cls" else "mp4",
-                s.start, s.end, chunk_len=self.chunk_len, fps=s.fps,
+                vs, ve, chunk_len=self.chunk_len, fps=s.fps,
                 clip_length=self.clip_length, threads=self.threads,
                 crop=CropSpec(), out_size=size, jitter=False, rng=rng,
                 reader_cache=self._cache,
