@@ -142,20 +142,19 @@ def _fwd(q, k, v, sm_scale, causal, block_q, interpret):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
-                   sm_scale, causal, seq_len, block_q):
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   bias_ref, dq_ref, *, sm_scale, causal, seq_len, block_q):
     qi = pl.program_id(1)
     s = jax.lax.dot_general(
         q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * sm_scale
     s_pad = k_ref.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, s_pad), 1)
-    mask = col < seq_len
+    s = s + bias_ref[0:1, :]  # -inf on padded key columns (one VPU add)
     if causal:
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, s_pad), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (block_q, s_pad), 0)
-        mask = jnp.logical_and(mask, col <= row + qi * block_q)
-    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        s = jnp.where(col <= row + qi * block_q, s, DEFAULT_MASK_VALUE)
 
     lse = lse_ref[:, 0:1]
     p = jnp.exp(s - lse)  # [block_q, S_pad]
@@ -173,7 +172,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, *, sm_scale, causal, seq_len, block_k):
+                    bias_ref, dk_ref, dv_ref, *, sm_scale, causal, seq_len,
+                    block_k):
     ki = pl.program_id(1)
     # scores^T : [block_k, S_pad_q]
     st = jax.lax.dot_general(
@@ -181,15 +181,15 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         preferred_element_type=jnp.float32,
     ) * sm_scale
     s_pad_q = q_ref.shape[0]
-    qcol = jax.lax.broadcasted_iota(jnp.int32, (block_k, s_pad_q), 1)
-    krow = jax.lax.broadcasted_iota(jnp.int32, (block_k, s_pad_q), 0)
-    mask = qcol < seq_len
-    kabs = krow + ki * block_k
-    mask = jnp.logical_and(mask, kabs < seq_len)
+    # padded q columns: -inf bias -> exp 0; padded k rows need no mask
+    # because their dk/dv rows are sliced off by the caller
+    st = st + bias_ref[0:1, :]
     if causal:
-        mask = jnp.logical_and(mask, kabs <= qcol)
+        qcol = jax.lax.broadcasted_iota(jnp.int32, (block_k, s_pad_q), 1)
+        krow = jax.lax.broadcasted_iota(jnp.int32, (block_k, s_pad_q), 0)
+        st = jnp.where(krow + ki * block_k <= qcol, st, DEFAULT_MASK_VALUE)
     lse = lse_ref[0:1, :]  # [1, S_pad_q] (row layout, no in-kernel transpose)
-    pt = jnp.where(mask, jnp.exp(st - lse), 0.0)
+    pt = jnp.exp(st - lse)
     dv = jax.lax.dot_general(
         pt.astype(do_ref.dtype), do_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -239,6 +239,14 @@ def _bwd(sm_scale, causal, block_q, interpret, res, g):
         jnp.pad(delta, ((0, 0), (0, s_pad_q - s)))[:, None, :], (bh, 8, s_pad_q)
     )
 
+    def pad_bias(n_pad):
+        return jnp.broadcast_to(
+            jnp.where(jnp.arange(n_pad) < s, 0.0, DEFAULT_MASK_VALUE
+                      ).astype(jnp.float32)[None, :], (8, n_pad))
+
+    bias_k = pad_bias(s_pad_k)  # over key columns (dq kernel)
+    bias_q = pad_bias(s_pad_q)  # over query columns (dkv kernel)
+
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, causal=causal,
                           seq_len=s, block_q=block_q),
@@ -250,11 +258,12 @@ def _bwd(sm_scale, causal, block_q, interpret, res, g):
             pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
             pl.BlockSpec((None, block_q, 128), lambda b, i: (b, i, 0)),
             pl.BlockSpec((None, block_q, 128), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((8, s_pad_k), lambda b, i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, s_pad_q, d), q.dtype),
         interpret=interpret,
-    )(qp, kp, vp, dop, lsep, dlt)[:, :s]
+    )(qp, kp, vp, dop, lsep, dlt, bias_k)[:, :s]
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
@@ -267,6 +276,7 @@ def _bwd(sm_scale, causal, block_q, interpret, res, g):
             pl.BlockSpec((None, s_pad_q, d), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((None, 8, s_pad_q), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((None, 8, s_pad_q), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((8, s_pad_q), lambda b, i: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((None, block_k, d), lambda b, i: (b, i, 0)),
@@ -277,7 +287,7 @@ def _bwd(sm_scale, causal, block_q, interpret, res, g):
             jax.ShapeDtypeStruct((bh, s_pad_k, d), v.dtype),
         ],
         interpret=interpret,
-    )(qp, kp, vp, dop, lse_row, dlt_row)
+    )(qp, kp, vp, dop, lse_row, dlt_row, bias_q)
     return dq, dk[:, :s], dv[:, :s]
 
 
