@@ -16,6 +16,7 @@ from typing import Any, Callable, Optional
 
 import flax.linen as nn
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 
 from avion_tpu.ops.attention import attention
@@ -119,6 +120,9 @@ class SelfAttention(nn.Module):
         qkv = qkv.reshape(b, s, 3, self.heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         o = attention(q, k, v, causal=self.causal, use_flash=self.use_flash)
+        # named for selective remat: policy "save_attn" keeps these
+        # activations so backward skips re-running the attention kernel
+        o = jax.ad_checkpoint.checkpoint_name(o, "attn_out")
         o = o.reshape(b, s, self.width)
         return nn.Dense(self.width, dtype=self.dtype,
                         param_dtype=jnp.float32, name="out_proj")(o)
@@ -170,12 +174,17 @@ class Transformer(nn.Module):
     ls_init_value: Optional[float] = None
     drop_path_rate: float = 0.0
     remat: bool = False
+    remat_policy: str = "save_attn"  # full | save_attn
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         block_cls = Block
         if self.remat:
-            block_cls = nn.remat(Block, static_argnums=(2,))
+            policy = None
+            if self.remat_policy == "save_attn":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "attn_out")
+            block_cls = nn.remat(Block, static_argnums=(2,), policy=policy)
         for i in range(self.layers):
             dp = self.drop_path_rate * i / max(1, self.layers - 1)
             blk = block_cls(
