@@ -27,7 +27,6 @@ def strip_projection(clip_model, clip_params):
     """Build a width-feature visual tower from a CLIP model + params
     (the reference nulls ``image_projection``, ``egonlq/main.py:101-108``).
     Returns (vision_module, vision_params)."""
-    vis = clip_model.visual if hasattr(clip_model, "visual") else None
     from avion_tpu.models.vit import VisionTransformer
 
     v = VisionTransformer(

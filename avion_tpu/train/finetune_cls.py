@@ -21,7 +21,6 @@ from avion_tpu.core.config import TrainConfig
 from avion_tpu.data.datasets import AugmentSpec, VideoClassyDataset
 from avion_tpu.data.loader import DataLoader
 from avion_tpu.models.clip import VideoClassifier
-from avion_tpu.models.registry import _REGISTRY
 from avion_tpu.models.vit import VisionTransformer
 from avion_tpu.models.layers import quick_gelu
 from avion_tpu.optim import build_optimizer

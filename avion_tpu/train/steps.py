@@ -62,7 +62,6 @@ def make_clip_train_step(
     model,
     tx: optax.GradientTransformation,
     label_smoothing: float = 0.0,
-    freeze_logit_scale: bool = False,
 ) -> Callable:
     def step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
