@@ -107,15 +107,22 @@ class PretrainVideoMAE(nn.Module):
         Returns (pred [B, n_masked, patch_dim], masked_idx [B, n_masked])."""
         visible_idx, masked_idx = split_mask_indices(mask, self.n_visible)
 
+        # gather visible pixel-tokens BEFORE the embed matmul: at 90%
+        # masking this makes patch_embed 10x cheaper than embed-then-
+        # gather (the fused "masked patchify" the BASELINE asks for —
+        # expressed as gather + Dense, which XLA fuses)
         tokens = tube_patchify(video, self.patch_size, self.tubelet_size)
-        x = nn.Dense(self.encoder_width, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="patch_embed")(
-            tokens.astype(self.dtype)
-        )
+        vis_tokens = _gather_tokens(tokens.astype(self.dtype), visible_idx)
+        xv = nn.Dense(self.encoder_width, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="patch_embed")(vis_tokens)
         pos = jnp.asarray(sincos_pos_embed(self.num_patches,
-                                           self.encoder_width))
-        x = x + pos.astype(self.dtype)[None]
-        xv = _gather_tokens(x, visible_idx)  # [B, n_vis, W]
+                                           self.encoder_width)
+                          ).astype(self.dtype)
+        pos_vis_enc = _gather_tokens(
+            jnp.broadcast_to(pos[None], (xv.shape[0],) + pos.shape),
+            visible_idx,
+        )
+        xv = xv + pos_vis_enc  # [B, n_vis, W]
 
         xv = Transformer(
             self.encoder_width, self.encoder_layers, self.encoder_heads, 4.0,
