@@ -211,10 +211,14 @@ class TrainConfig:
                 if k not in fields:
                     continue
                 f = fields[k]
-                if dataclasses.is_dataclass(f.type) or f.name in ("model", "data", "optim", "mesh"):
+                # nested sections exist only at the TrainConfig level and
+                # arrive as dicts (MeshConfig also has a field named
+                # "data" — an int — so the dict check is load-bearing)
+                if isinstance(v, dict) and dc_cls is cls and f.name in (
+                        "model", "data", "optim", "mesh"):
                     sub_cls = {"model": ModelConfig, "data": DataConfig,
-                               "optim": OptimConfig, "mesh": MeshConfig}.get(f.name)
-                    kwargs[k] = build(sub_cls, v) if sub_cls else v
+                               "optim": OptimConfig, "mesh": MeshConfig}[f.name]
+                    kwargs[k] = build(sub_cls, v)
                 elif isinstance(v, list):
                     kwargs[k] = tuple(v)
                 else:

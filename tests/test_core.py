@@ -1,0 +1,96 @@
+import json
+import os
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avion_tpu.core.config import TrainConfig, load_dotenv
+from avion_tpu.core.logging import MetricLogger
+from avion_tpu.core.meters import AverageMeter, ProgressMeter, StepTimer
+from avion_tpu.core.policy import get_policy
+
+
+def test_config_overrides_and_roundtrip():
+    cfg = TrainConfig()
+    cfg.apply_overrides([
+        "model.name=CLIP_VITL14",
+        "data.batch_size=512",
+        "optim.lr=0.001",
+        "optim.betas=0.9,0.95",
+        "optim.grad_clip_norm=none",
+        "mesh.fsdp=4",
+        "wandb=true",
+    ])
+    assert cfg.model.name == "CLIP_VITL14"
+    assert cfg.data.batch_size == 512
+    assert cfg.optim.lr == 0.001
+    assert cfg.optim.betas == (0.9, 0.95)
+    assert cfg.optim.grad_clip_norm is None
+    assert cfg.mesh.fsdp == 4
+    assert cfg.wandb is True
+
+    d = cfg.to_dict()
+    cfg2 = TrainConfig.from_dict(d)
+    assert cfg2.model.name == "CLIP_VITL14"
+    assert cfg2.optim.betas == (0.9, 0.95)
+    assert cfg2.mesh.fsdp == 4
+
+
+def test_config_unknown_key_raises():
+    with pytest.raises(ValueError):
+        TrainConfig().apply_overrides(["model.nope=1"])
+    with pytest.raises(ValueError):
+        TrainConfig().apply_overrides(["badtoken"])
+
+
+def test_policy():
+    p = get_policy("bf16")
+    assert p.compute_dtype == jnp.bfloat16
+    assert p.param_dtype == jnp.float32
+    assert get_policy("fp32").compute_dtype == jnp.float32
+    with pytest.raises(ValueError):
+        get_policy("fp8")
+
+
+def test_meters():
+    m = AverageMeter("x", ":.2f")
+    m.update(1.0)
+    m.update(3.0)
+    assert m.avg == 2.0
+    assert "x" in str(m)
+
+    t = StepTimer()
+    time.sleep(0.01)
+    t.mark_data()
+    time.sleep(0.02)
+    t.mark_step()
+    assert t.step_time.avg > t.data_time.avg * 0.5
+    assert 0 < t.duty_cycle <= 1.0
+    stats = t.stats()
+    assert set(stats) == {"data_time", "step_time", "batch_time", "duty_cycle"}
+
+
+def test_metric_logger_jsonl(tmp_path):
+    logger = MetricLogger(str(tmp_path), use_wandb=False)
+    logger.log({"loss": 1.5, "acc": np.float32(2.0)}, step=3)
+    logger.log({"loss": 1.0}, step=4)
+    logger.finish()
+    lines = [json.loads(l) for l in open(tmp_path / "log.jsonl")]
+    assert lines[0]["loss"] == 1.5 and lines[0]["step"] == 3
+    assert lines[1]["step"] == 4
+
+
+def test_load_dotenv(tmp_path, monkeypatch):
+    envfile = tmp_path / ".env"
+    envfile.write_text("MY_TEST_ROOT=/data/x\n# comment\nQUOTED='abc'\n")
+    monkeypatch.delenv("MY_TEST_ROOT", raising=False)
+    loaded = load_dotenv(str(envfile))
+    assert loaded["MY_TEST_ROOT"] == "/data/x"
+    assert os.environ["MY_TEST_ROOT"] == "/data/x"
+    assert loaded["QUOTED"] == "abc"
+    # does not clobber existing env
+    os.environ["MY_TEST_ROOT"] = "/keep"
+    load_dotenv(str(envfile))
+    assert os.environ["MY_TEST_ROOT"] == "/keep"
