@@ -121,6 +121,13 @@ def main(argv=None):
 
     rng = jax.random.PRNGKey(cfg.seed + 1)
     best = -1.0
+    if cfg.eval_freq and run.start_epoch == 0:
+        # zero-shot-before-training sanity pass
+        # (main_lavila_pretrain.py:686-696)
+        zs = run_validation(cfg, model, run)
+        if zs:
+            print(f"[epoch -1 zero-shot] {zs}")
+            run.logger.log(zs, step=0)
     for epoch in range(run.start_epoch, cfg.optim.epochs):
         train_loader.set_epoch(epoch)
         metrics = train_one_epoch(run, train_loader, epoch, rng)
