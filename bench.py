@@ -68,7 +68,7 @@ def bench_batch(batch, warmup=3, iters=20):
 
 
 def main():
-    for batch in (256, 128, 64, 32):
+    for batch in (256, 192, 128, 64, 32):
         try:
             clips_per_sec = bench_batch(batch)
             result = {
