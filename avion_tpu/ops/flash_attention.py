@@ -84,19 +84,26 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, sm_scale,
         s = jnp.where(col <= row + qi * block_q, s, DEFAULT_MASK_VALUE)
 
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    lse = m + jnp.log(l)
-    lse_ref[:] = jnp.broadcast_to(lse, lse_ref.shape)
+    p = jnp.exp(s - m).astype(v_ref.dtype)  # exp+cast fuse into one pass
+    l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+    if lse_ref is not None:
+        lse = m + jnp.log(l)
+        lse_ref[:] = jnp.broadcast_to(lse, lse_ref.shape)
 
     o = jax.lax.dot_general(
-        (p / l).astype(v_ref.dtype), v_ref[:], (((1,), (0,)), ((), ())),
+        p, v_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[:] = o.astype(o_ref.dtype)
+    # normalize on the [block_q, D] output instead of the [block_q, S]
+    # score tile — one cheap pass instead of a full-matrix division
+    o_ref[:] = (o / l).astype(o_ref.dtype)
 
 
-def _fwd(q, k, v, sm_scale, causal, block_q, interpret):
+def _fwd_infer_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, **kw):
+    _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, None, **kw)
+
+
+def _fwd(q, k, v, sm_scale, causal, block_q, interpret, need_lse=True):
     bh, s, d = q.shape
     if block_q is None:
         block_q = _auto_block_q(_ceil_to(s, 128))
@@ -111,6 +118,25 @@ def _fwd(q, k, v, sm_scale, causal, block_q, interpret):
         (8, s_pad_k),
     )
     grid = (bh, s_pad_q // block_q)
+
+    if not need_lse:
+        out = pl.pallas_call(
+            functools.partial(
+                _fwd_infer_kernel, sm_scale=sm_scale, causal=causal,
+                seq_len=s, block_q=block_q,
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
+                pl.BlockSpec((None, s_pad_k, d), lambda b, i: (b, 0, 0)),
+                pl.BlockSpec((None, s_pad_k, d), lambda b, i: (b, 0, 0)),
+                pl.BlockSpec((8, s_pad_k), lambda b, i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((bh, s_pad_q, d), q.dtype),
+            interpret=interpret,
+        )(qp, kp, vp, bias)
+        return out[:, :s], None
 
     out, lse = pl.pallas_call(
         functools.partial(
@@ -298,7 +324,9 @@ def _bwd(sm_scale, causal, block_q, interpret, res, g):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _flash_bhsd(q, k, v, sm_scale, causal, block_q, interpret):
-    out, _ = _fwd(q, k, v, sm_scale, causal, block_q, interpret)
+    # primal-only (inference) path: no lse output/write
+    out, _ = _fwd(q, k, v, sm_scale, causal, block_q, interpret,
+                  need_lse=False)
     return out
 
 
