@@ -31,14 +31,25 @@ from avion_tpu.eval.retrieval_metrics import get_map, get_ndcg
 
 
 class CLIPEncoders:
-    """Jitted, batch-padded encode functions over a CLIP model."""
+    """Jitted, batch-padded encode functions over a CLIP model.
 
-    def __init__(self, model, params, mean=None, std=None, batch: int = 64):
+    With a ``mesh``, eval batches are sharded over the data axes so the
+    sweep uses every chip (replacing the reference's per-rank eval +
+    all_gather, ``evaluation_ek100mir.py:249-294``)."""
+
+    def __init__(self, model, params, mean=None, std=None, batch: int = 64,
+                 mesh=None):
         from avion_tpu.data.transforms import OPENAI_MEAN, OPENAI_STD
 
         self.model = model
         self.params = params
         self.batch = batch
+        self.mesh = mesh
+        if mesh is not None:
+            from avion_tpu.parallel.mesh import n_batch_shards
+
+            shards = n_batch_shards(mesh)
+            self.batch = -(-batch // shards) * shards  # round up
         mean = mean if mean is not None else OPENAI_MEAN
         std = std if std is not None else OPENAI_STD
 
@@ -55,6 +66,13 @@ class CLIPEncoders:
 
         self._img, self._txt = _img, _txt
 
+    def _put(self, chunk):
+        if self.mesh is None:
+            return chunk
+        from avion_tpu.parallel.sharding import batch_sharding
+
+        return jax.device_put(chunk, batch_sharding(self.mesh, chunk.ndim))
+
     def _sweep(self, fn, arr: np.ndarray) -> np.ndarray:
         n = arr.shape[0]
         out = []
@@ -65,7 +83,7 @@ class CLIPEncoders:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], pad, axis=0)], axis=0
                 )
-            emb = np.asarray(fn(self.params, chunk), np.float32)
+            emb = np.asarray(fn(self.params, self._put(chunk)), np.float32)
             out.append(emb[: self.batch - pad])
         return np.concatenate(out, axis=0)
 

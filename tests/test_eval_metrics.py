@@ -138,3 +138,27 @@ def test_clip_encoders_and_zeroshot(mesh_dp):
     emb = enc.encode_images(rs.randint(0, 255, (5, 2, 32, 32, 3), np.uint8))
     assert emb.shape == (5, 16)
     np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-4)
+
+
+def test_clip_encoders_mesh_sharded(mesh_dp):
+    from avion_tpu.models.clip import CLIP
+    from avion_tpu.eval.runners import CLIPEncoders
+
+    model = CLIP(
+        embed_dim=16, image_size=32, patch_size=16, num_frames=2,
+        vision_width=32, vision_layers=1, vision_heads=2, context_length=77,
+        vocab_size=49408, text_width=16, text_heads=2, text_layers=1,
+        use_flash=False, dtype=jnp.float32,
+    )
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((1, 2, 32, 32, 3)),
+                        jnp.zeros((1, 77), jnp.int32))["params"]
+    enc_local = CLIPEncoders(model, params, batch=8)
+    enc_mesh = CLIPEncoders(model, params, batch=6, mesh=mesh_dp)
+    assert enc_mesh.batch == 8  # rounded up to shard count
+    rs = np.random.RandomState(0)
+    vids = rs.randint(0, 255, (11, 2, 32, 32, 3), np.uint8)
+    np.testing.assert_allclose(
+        enc_mesh.encode_images(vids), enc_local.encode_images(vids),
+        rtol=1e-4,
+    )
