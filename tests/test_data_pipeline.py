@@ -198,3 +198,22 @@ def test_kinetics_dataset(tmp_path):
     assert item["video"].shape == (4, 32, 32, 3)
     assert item["mask"].shape == (2 * 4,)  # (4/2 frames) * (2*2 patches)
     assert item["mask"].sum() == 2 * int(0.5 * 4)
+
+
+def test_kinetics_corrupt_file_resamples(tmp_path):
+    """A corrupt video resamples another index instead of crashing
+    (classification_dataset.py:205-211 semantics)."""
+    root = str(tmp_path)
+    good = osp.join(root, "good.mp4")
+    _write_video(good, 20)
+    bad = osp.join(root, "bad.mp4")
+    open(bad, "wb").write(b"not a video")
+    meta = osp.join(root, "list.txt")
+    open(meta, "w").write("bad.mp4 0\ngood.mp4 1\n")
+    ds = KineticsDataset(root, meta, clip_length=2, clip_stride=2,
+                         crop_size=32, patch_size=16, tubelet_size=2,
+                         mask_ratio=0.5,
+                         augment=AugmentSpec(crop_size=32, mode="center"))
+    item = ds[0]  # bad file -> falls through to the good one
+    assert item["video"].shape == (2, 32, 32, 3)
+    assert int(item["label"]) == 1
