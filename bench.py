@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Benchmark: CLIP ViT-B/16 contrastive pretrain step throughput on TPU.
 
-Matches the reference headline config: 4-frame clips, 224px, batch 256
+Matches the reference headline config: 4-frame clips, 224px (batch 192
+is the largest that fits v5e HBM with selective remat; the reference
+uses 256/GPU on 24GB A5000s)
 (scripts/main_lavila_pretrain.py:78 --clip-length default 4, batch 256/GPU).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -68,7 +70,7 @@ def bench_batch(batch, warmup=3, iters=20):
 
 
 def main():
-    for batch in (256, 192, 128, 64, 32):
+    for batch in (192, 128, 64, 32):
         try:
             clips_per_sec = bench_batch(batch)
             result = {
