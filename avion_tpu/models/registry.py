@@ -100,6 +100,30 @@ register_model("CLIP_VITL14_336PX")(
 )
 
 
+@register_model("VCLM_VITB16")
+def _vclm_vitb16(
+    num_frames: int = 4,
+    use_flash_attn: bool = True,
+    cross_every: int = 2,
+    dtype=None,
+    **_unused,
+):
+    """Narrator VCLM: ViT-B/16 video tokens + gated-cross-attn causal
+    decoder (the reference's LaViLa narrator role,
+    ``second_party/lavilla_narrator``)."""
+    import jax.numpy as jnp
+
+    from avion_tpu.models.narrator import VCLM
+
+    return VCLM(
+        vocab_size=49408, context_length=77, width=512, layers=12, heads=8,
+        cross_every=cross_every, image_size=224, patch_size=16,
+        num_frames=num_frames, vision_width=768, vision_layers=12,
+        vision_heads=12, use_flash=use_flash_attn,
+        dtype=dtype if dtype is not None else jnp.bfloat16,
+    )
+
+
 @register_model("CLIP_TINY")
 def _clip_tiny(
     num_frames: int = 2,

@@ -91,6 +91,39 @@ def narrate_dataset(
     return len(rows)
 
 
+def vclm_captioner(model, params, *, num_samples: int = 3,
+                   max_len: int = 30, top_p: float = 0.95,
+                   temperature: float = 0.7, seed: int = 0):
+    """Build a caption_fn from this framework's native VCLM narrator
+    (``avion_tpu/models/narrator.py``) — the in-repo counterpart of the
+    reference's TimeSformer+gated-GPT2 LaViLa narrator."""
+    import jax
+    import jax.numpy as jnp
+
+    from avion_tpu.data.tokenizer import _default_tokenizer
+    from avion_tpu.data.transforms import normalize_video
+    from avion_tpu.models.narrator import make_generator
+
+    tk = _default_tokenizer()
+    gen = jax.jit(make_generator(model, max_len=max_len, top_p=top_p,
+                                 temperature=temperature,
+                                 sot=tk.sot_token, eot=tk.eot_token))
+    state = {"key": jax.random.PRNGKey(seed)}
+
+    def caption(frames: np.ndarray) -> List[str]:
+        video = normalize_video(jnp.asarray(frames)[None], dtype=model.dtype)
+        outs = []
+        for _ in range(num_samples):
+            state["key"], sub = jax.random.split(state["key"])
+            toks = np.asarray(gen(params, video, sub))[0]
+            ids = [int(t) for t in toks[1:]
+                   if t not in (0, tk.sot_token, tk.eot_token)]
+            outs.append(tk.decode(ids).strip())
+        return outs
+
+    return caption
+
+
 def hf_captioner(model_name: str = "Salesforce/blip2-opt-2.7b",
                  num_samples: int = 3, device: str = "cpu"):
     """Build a caption_fn from a HuggingFace checkpoint (requires model
