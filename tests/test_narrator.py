@@ -117,3 +117,61 @@ def test_vclm_captioner_end_to_end(tiny_vclm, tmp_path):
     rows = pickle.load(open(out, "rb"))
     assert n == len(rows) >= 1
     assert isinstance(rows[0][3], list) and len(rows[0][3]) == 2
+
+
+def test_narrator_entry_end_to_end(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    import os, os.path as osp, pickle, json
+
+    root = str(tmp_path / "data")
+    os.makedirs(root)
+    samples = []
+    for v in range(8):
+        d = osp.join(root, f"vid{v}.mp4")
+        os.makedirs(d)
+        vw = cv2.VideoWriter(osp.join(d, "0.mp4"),
+                             cv2.VideoWriter_fourcc(*"mp4v"), 10, (32, 32))
+        for i in range(20):
+            vw.write(np.random.RandomState(i).randint(0, 255, (32, 32, 3),
+                                                      np.uint8))
+        vw.release()
+        samples.append((f"vid{v}", 0.2, 1.8, f"does action {v}"))
+    meta = osp.join(root, "meta.pkl")
+    pickle.dump(samples, open(meta, "wb"))
+
+    # tiny VCLM registered on the fly
+    from avion_tpu.models.registry import register_model
+    from avion_tpu.models.narrator import VCLM
+    import jax.numpy as jnp
+
+    @register_model("VCLM_TINY_TEST")
+    def _tiny(num_frames=2, use_flash_attn=False, **_):
+        return VCLM(vocab_size=49408, context_length=16, width=32, layers=1,
+                    heads=2, cross_every=1, image_size=32, patch_size=16,
+                    num_frames=num_frames, vision_width=32, vision_layers=1,
+                    vision_heads=2, use_flash=False, dtype=jnp.float32)
+
+    from avion_tpu.train.train_narrator import main
+
+    out = str(tmp_path / "narr_run")
+    main([
+        "model.name=VCLM_TINY_TEST",
+        "model.use_flash_attn=false",
+        f"data.root={root}",
+        f"data.train_metadata={meta}",
+        "data.chunk_len=2",
+        "data.fps=10",
+        "data.clip_length=2",
+        "data.crop_size=32",
+        "data.batch_size=8",
+        "data.num_workers=0",
+        "optim.epochs=1",
+        "optim.lr=1e-3",
+        "optim.warmup_epochs=0",
+        f"output_dir={out}",
+        "print_freq=1",
+        "eval_freq=0",
+        "mesh.data=8",
+    ])
+    logs = [json.loads(l) for l in open(osp.join(out, "log.jsonl"))]
+    assert any("train/loss" in l for l in logs)
