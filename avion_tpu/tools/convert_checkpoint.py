@@ -46,10 +46,10 @@ def export_clip_to_pt(params: Dict[str, Any], path: str):
     sd = {}
 
     def t(x):  # flax kernel [in, out] -> torch weight [out, in]
-        return torch.from_numpy(np.ascontiguousarray(np.asarray(x).T))
+        return torch.from_numpy(np.array(np.asarray(x).T))
 
     def raw(x):
-        return torch.from_numpy(np.ascontiguousarray(np.asarray(x)))
+        return torch.from_numpy(np.array(np.asarray(x)))
 
     for key, val in flat.items():
         parts = key.split("/")
