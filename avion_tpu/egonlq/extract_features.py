@@ -1,0 +1,57 @@
+"""CLI: extract NLQ features with a pretrained dual encoder.
+
+Counterpart of ``egonlq/extract_features.py`` + the extraction half of
+``egonlq/main.py``.
+
+Usage::
+
+    python -m avion_tpu.egonlq.extract_features \
+        --ckpt runs/pretrain/ckpt --model CLIP_VITB16 \
+        --annotations nlq_train.json --video-root /data/ego4d_full \
+        --out features/train
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--model", default="CLIP_VITB16")
+    p.add_argument("--annotations", required=True)
+    p.add_argument("--video-root", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--clip-length", type=int, default=4)
+    p.add_argument("--window-sec", type=float, default=2.0)
+    p.add_argument("--batch", type=int, default=32)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from avion_tpu.egonlq.features import FeatureExtractor
+    from avion_tpu.egonlq.nlq_dataset import parse_nlq_annotations
+    from avion_tpu.models import create_model
+    from avion_tpu.train.common import load_pretrained_params
+
+    model = create_model(args.model, num_frames=args.clip_length)
+    video = jnp.zeros((1, args.clip_length, model.image_size,
+                       model.image_size, 3), jnp.bfloat16)
+    text = jnp.zeros((1, model.context_length), jnp.int32)
+    template = jax.jit(model.init)(jax.random.PRNGKey(0), video,
+                                   text)["params"]
+    params = load_pretrained_params(args.ckpt, template,
+                                    num_frames=args.clip_length)
+
+    samples = parse_nlq_annotations(args.annotations)
+    fx = FeatureExtractor(model, params, clip_length=args.clip_length,
+                          window_sec=args.window_sec,
+                          crop_size=model.image_size, batch=args.batch)
+    fx.extract_to_dir(samples, args.video_root, args.out)
+    print(f"extracted features for {len(samples)} samples to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

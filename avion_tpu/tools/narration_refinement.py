@@ -119,6 +119,70 @@ def merge_to_train_pkl(
     return len(rows)
 
 
+def http_vlm_infer(endpoint: str, model: str = "Qwen/Qwen2-VL-7B-Instruct",
+                   *, video_root: str = "", clip_length: int = 8,
+                   crop_size: int = 336, timeout: float = 120.0):
+    """Build an ``infer(item)`` against an OpenAI-compatible VLM server
+    (the reference drives a vLLM server the same way,
+    ``second_party/qwen3vl/vllm_refine.py``): frames are sampled from
+    the item's context window, base64-embedded, and the model must
+    answer with the JSON contract in ``REFINE_PROMPT``."""
+    import base64
+    import urllib.request
+
+    from avion_tpu.data.sampling import load_clip
+
+    def infer(item: RefineItem) -> Optional[dict]:
+        frames = load_clip(
+            video_root, item.vid, "mp4", item.window_start, item.window_end,
+            chunk_len=15, clip_length=clip_length,
+            out_size=(crop_size, crop_size), jitter=False,
+        )
+        try:
+            import cv2
+
+            images = []
+            for f in frames:
+                ok, buf = cv2.imencode(".jpg", f[:, :, ::-1])
+                if ok:
+                    images.append(base64.b64encode(buf.tobytes()).decode())
+        except ImportError:
+            images = []
+        prompt = REFINE_PROMPT.format(
+            n=len(images), window=item.window_end - item.window_start,
+            caption=item.caption, start=item.start - item.window_start,
+            end=item.end - item.window_start,
+        )
+        content = [{"type": "text", "text": prompt}] + [
+            {"type": "image_url",
+             "image_url": {"url": f"data:image/jpeg;base64,{img}"}}
+            for img in images
+        ]
+        payload = json.dumps({
+            "model": model,
+            "messages": [{"role": "user", "content": content}],
+            "temperature": 0.0,
+        }).encode()
+        req = urllib.request.Request(
+            f"{endpoint.rstrip('/')}/v1/chat/completions", data=payload,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            reply = json.load(resp)
+        text = reply["choices"][0]["message"]["content"]
+        start = text.find("{")
+        end = text.rfind("}")
+        if start < 0 or end < 0:
+            return None
+        out = json.loads(text[start : end + 1])
+        # answers are window-relative; convert to absolute seconds
+        out["start"] = float(out["start"]) + item.window_start
+        out["end"] = float(out["end"]) + item.window_start
+        return out
+
+    return infer
+
+
 def make_json_line_writer(path: str):
     """Streaming result sink (vLLM batch jobs write JSONL)."""
     f = open(path, "a")
