@@ -83,6 +83,23 @@ class StepTimer:
         self.batch_time.update(now - self._t0)
         self._t0 = now
 
+    def mark_window(self, n_steps: int):
+        """Close an n-step window with a single host sync at its end:
+        data waits were recorded per step by mark_data (host-side, always
+        accurate); the remaining window wall-time is attributed to device
+        steps.  Keeps duty-cycle stats correct without per-step syncs."""
+        now = time.perf_counter()
+        window = now - self._window_t0 if hasattr(self, "_window_t0") else 0.0
+        if n_steps > 0 and window > 0:
+            data = self.data_time.sum - getattr(self, "_window_data0", 0.0)
+            per_step = max(window - data, 0.0) / n_steps
+            for _ in range(n_steps):
+                self.step_time.update(per_step)
+                self.batch_time.update(window / n_steps)
+        self._window_t0 = now
+        self._window_data0 = self.data_time.sum
+        self._t0 = now
+
     @property
     def duty_cycle(self) -> float:
         bt = self.batch_time.avg

@@ -89,10 +89,21 @@ def train_one_epoch(
 
     from avion_tpu.parallel.launch import preempted
 
-    it = device_prefetch(loader, run.mesh, depth=2, transform=extra_batch_fn)
+    import time as _time
+
+    it = iter(device_prefetch(loader, run.mesh, depth=2,
+                              transform=extra_batch_fn))
     last_metrics: Dict[str, float] = {}
     with jax.set_mesh(run.mesh):
-        for i, batch in enumerate(it):
+        i = -1
+        while True:
+            t_fetch = _time.perf_counter()
+            try:
+                batch = next(it)
+            except StopIteration:
+                break
+            timer.data_time.update(_time.perf_counter() - t_fetch)
+            i += 1
             if preempted():
                 # SIGTERM from the scheduler: checkpoint mid-epoch and
                 # stop; auto-resume picks up from here (submitit-requeue
@@ -100,18 +111,21 @@ def train_one_epoch(
                 save_epoch(run, epoch - 1)
                 run.ckpt.wait()
                 break
-            timer.mark_data()
             run.state, metrics = run.step(run.state, batch, rng)
-            # host fetch synchronizes (remote-tunnel backends do not block
-            # in block_until_ready) and feeds the meters
-            loss = float(metrics["loss"])
-            timer.mark_step()
-            meters["loss"].update(loss)
-            for k, v in metrics.items():
-                if k == "loss":
-                    continue
-                meters.setdefault(k, AverageMeter(k, ":.4f")).update(float(v))
+            # fetch metrics to host only at print intervals: a host sync
+            # every step would serialize dispatch (and costs a full
+            # round-trip on remote-tunnel backends); in between, steps
+            # chain device-side.  mark_window attributes the window's
+            # wall-time to device steps using the per-step data waits.
             if i % cfg.print_freq == 0:
+                loss = float(metrics["loss"])  # forces the chain
+                timer.mark_window(min(i + 1, cfg.print_freq))
+                meters["loss"].update(loss)
+                for k, v in metrics.items():
+                    if k == "loss":
+                        continue
+                    meters.setdefault(k, AverageMeter(k, ":.4f")).update(
+                        float(v))
                 progress.display(i)
                 run.logger.log(
                     {"train/loss": loss, "train/epoch": epoch,
