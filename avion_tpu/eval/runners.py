@@ -30,6 +30,9 @@ from avion_tpu.eval.classification_metrics import (
 from avion_tpu.eval.retrieval_metrics import get_map, get_ndcg
 
 
+_ENCODER_CACHE: dict = {}
+
+
 class CLIPEncoders:
     """Jitted, batch-padded encode functions over a CLIP model.
 
@@ -65,6 +68,19 @@ class CLIPEncoders:
                                method=model.encode_text)
 
         self._img, self._txt = _img, _txt
+
+    @classmethod
+    def cached(cls, model, params, batch: int = 64, mesh=None):
+        """Reuse jitted encoders across calls (fresh instances would
+        recompile both towers every validation epoch)."""
+        key = (id(model), batch, id(mesh))
+        enc = _ENCODER_CACHE.get(key)
+        if enc is None:
+            enc = cls(model, params, batch=batch, mesh=mesh)
+            _ENCODER_CACHE[key] = enc
+        else:
+            enc.params = params
+        return enc
 
     def _put(self, chunk):
         if self.mesh is None:

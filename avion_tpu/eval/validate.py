@@ -159,17 +159,6 @@ def build_suites(encoders: CLIPEncoders, data_cfg, env=None) -> Dict:
     return suites
 
 
-_ENCODER_CACHE: dict = {}
-
-
 def run_validation(model, params, data_cfg, env=None) -> Dict[str, float]:
-    # reuse the jitted encoder functions across epochs (a fresh
-    # CLIPEncoders would recompile both towers every validation pass)
-    key = (id(model), data_cfg.val_batch_size)
-    enc = _ENCODER_CACHE.get(key)
-    if enc is None:
-        enc = CLIPEncoders(model, params, batch=data_cfg.val_batch_size)
-        _ENCODER_CACHE[key] = enc
-    else:
-        enc.params = params
+    enc = CLIPEncoders.cached(model, params, batch=data_cfg.val_batch_size)
     return validate_all(enc, build_suites(enc, data_cfg, env))

@@ -115,7 +115,7 @@ def run_mir_validation(cfg: TrainConfig, model, run):
         return {}
     with jax.set_mesh(run.mesh):
         params = jax.device_get(run.state.params)
-    encoders = CLIPEncoders(model, params, batch=d.val_batch_size)
+    encoders = CLIPEncoders.cached(model, params, batch=d.val_batch_size)
     val_ds = VideoCaptionDataset(
         "ek100_mir", d.root_val, d.val_metadata, is_training=False,
         clip_length=d.clip_length, chunk_len=d.chunk_len,
