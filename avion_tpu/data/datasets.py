@@ -47,7 +47,8 @@ class AugmentSpec:
     fused_decode_crop flags, ``main_lavila_pretrain.py`` CLI)."""
 
     crop_size: int = 224
-    mode: str = "rrc"  # rrc | msc | center | none
+    mode: str = "rrc"  # rrc | msc | center | none | device_rrc
+    decode_size: int = 256  # host decode size for the device_rrc path
     scale_min: float = 0.5
     scale_max: float = 1.0
     hflip_prob: float = 0.0
@@ -119,22 +120,40 @@ class VideoCaptionDataset(_PicklableCache):
     def __len__(self):
         return len(self.samples)
 
-    def _load(self, s: md.Sample, rng) -> np.ndarray:
+    def _load(self, s: md.Sample, rng):
+        ext = "MP4" if self.dataset.startswith("ek100") else "mp4"
+        fps = s.fps if self.dataset.startswith("ek100") else self.fps
+        if self.augment.mode == "device_rrc":
+            # host decodes full frames at a fixed size; the RRC params
+            # travel with the batch and the TPU does the pixel work
+            # (ops/fused_input.crop_resize_flip_normalize)
+            size = (self.augment.decode_size, self.augment.decode_size)
+            frames = load_clip(
+                self.root, s.vid, ext, s.start, s.end,
+                chunk_len=self.chunk_len, fps=fps,
+                clip_length=self.clip_length, threads=self.threads,
+                crop=CropSpec(), out_size=size, jitter=self.is_training,
+                rng=rng, reader_cache=self._cache,
+            )
+            c = sample_rrc(rng, (self.augment.scale_min,
+                                 self.augment.scale_max),
+                           hflip_prob=self.augment.hflip_prob)                 if self.is_training else CropSpec()
+            return frames, np.asarray([c.x, c.y, c.w, c.h], np.float32),                 np.bool_(c.hflip)
         crop = self.augment.sample(rng)
         size = (self.augment.crop_size, self.augment.crop_size)
-        ext = "MP4" if self.dataset.startswith("ek100") else "mp4"
-        return load_clip(
+        frames = load_clip(
             self.root, s.vid, ext, s.start, s.end,
-            chunk_len=self.chunk_len, fps=s.fps if self.dataset.startswith("ek100") else self.fps,
+            chunk_len=self.chunk_len, fps=fps,
             clip_length=self.clip_length, threads=self.threads, crop=crop,
             out_size=size, jitter=self.is_training, rng=rng,
             reader_cache=self._cache,
         )
+        return frames, None, None
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         rng = np.random.RandomState() if self.is_training else np.random.RandomState(i)
         s = self.samples[i]
-        frames = self._load(s, rng)
+        frames, crop_arr, hflip = self._load(s, rng)
         caption = s.caption
         relevancy = 1.0
         if self.dataset == "ek100_mir" and self.is_training:
@@ -149,11 +168,15 @@ class VideoCaptionDataset(_PicklableCache):
                 caption = caption[rng.randint(len(caption))] if caption else ""
             elif self.narration_selection == "concat":
                 caption = ". ".join(caption)
-        return {
+        item = {
             "video": frames,
             "text": tokenize(str(caption), self.context_length),
             "relevancy": np.float32(relevancy),
         }
+        if crop_arr is not None:
+            item["crop"] = crop_arr
+            item["hflip"] = hflip
+        return item
 
 
 class VideoClassyDataset(_PicklableCache):

@@ -90,7 +90,11 @@ def build_loaders(cfg: TrainConfig):
         is_training=True, clip_length=d.clip_length, chunk_len=d.chunk_len,
         fps=d.fps, threads=d.decode_threads,
         augment=AugmentSpec(
-            crop_size=d.crop_size, mode="rrc", scale_min=d.scale_min,
+            crop_size=d.crop_size,
+            # fused_decode_crop=False moves the crop/resize/flip work to
+            # the TPU (ops/fused_input); the host then only decodes
+            mode="rrc" if d.fused_decode_crop else "device_rrc",
+            decode_size=d.decode_size, scale_min=d.scale_min,
             scale_max=d.scale_max, hflip_prob=d.hflip_prob,
             vflip_prob=d.vflip_prob,
         ),
@@ -116,7 +120,8 @@ def main(argv=None):
     niter = max(1, len(train_loader))
     model, params, tx = build_model_and_state(cfg, niter)
     step_fn = make_clip_train_step(
-        model, tx, label_smoothing=cfg.label_smoothing)
+        model, tx, label_smoothing=cfg.label_smoothing,
+        crop_size=cfg.data.crop_size)
     run = setup_run(cfg, params, tx, step_fn)
 
     rng = jax.random.PRNGKey(cfg.seed + 1)

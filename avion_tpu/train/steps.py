@@ -28,15 +28,26 @@ from avion_tpu.losses.losses import (
 LOGIT_SCALE_MAX = 4.6052  # ln(100); scripts/main_lavila_pretrain.py:880
 
 
-def prep_video(video, mean=None, std=None, dtype=jnp.bfloat16):
+def prep_video(video, mean=None, std=None, dtype=jnp.bfloat16, batch=None,
+               crop_size=None):
     """Normalize uint8 device batches in-graph (the reference's kornia
     GPU normalize, ``main_lavila_pretrain.py:430-435``); float inputs
-    pass through (already normalized, e.g. in tests)."""
-    if video.dtype == jnp.uint8:
-        from avion_tpu.data.transforms import OPENAI_MEAN, OPENAI_STD, normalize_video
+    pass through (already normalized, e.g. in tests).  When the batch
+    carries host-sampled crop params ("crop"/"hflip"), the full
+    augmentation — crop + resize + flip + normalize — runs on device
+    (``ops/fused_input``)."""
+    from avion_tpu.data.transforms import OPENAI_MEAN, OPENAI_STD, normalize_video
 
-        return normalize_video(video, mean if mean is not None else OPENAI_MEAN,
-                               std if std is not None else OPENAI_STD, dtype)
+    mean = mean if mean is not None else OPENAI_MEAN
+    std = std if std is not None else OPENAI_STD
+    if batch is not None and "crop" in batch and crop_size is not None:
+        from avion_tpu.ops.fused_input import crop_resize_flip_normalize
+
+        return crop_resize_flip_normalize(
+            video, batch["crop"], batch.get("hflip"),
+            out_size=(crop_size, crop_size), mean=mean, std=std, dtype=dtype)
+    if video.dtype == jnp.uint8:
+        return normalize_video(video, mean, std, dtype)
     return video
 
 
@@ -62,6 +73,7 @@ def make_clip_train_step(
     model,
     tx: optax.GradientTransformation,
     label_smoothing: float = 0.0,
+    crop_size: Optional[int] = None,
 ) -> Callable:
     def step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -69,7 +81,9 @@ def make_clip_train_step(
 
         def loss_fn(params):
             out = model.apply(
-                {"params": params}, prep_video(batch["video"]), batch["text"],
+                {"params": params},
+                prep_video(batch["video"], batch=batch, crop_size=crop_size),
+                batch["text"],
                 False,
                 rngs={"dropout": dropout_rng, "patch_dropout": pd_rng},
             )
