@@ -283,15 +283,18 @@ def _import_block_videomae(state, prefix, out, out_prefix):
 
 
 def merge_into_params(init_params: Dict[str, Any], imported: Dict[str, Any],
-                      strict: bool = True) -> Dict[str, Any]:
+                      strict: bool = True, verbose: bool = True) -> Dict[str, Any]:
     """Overlay imported arrays onto an init param tree (shape-checked)."""
     import jax
+
+    stats = {"loaded": 0, "skipped": []}
 
     def walk(dst, src, path=""):
         for k, v in src.items():
             if k not in dst:
                 if strict:
                     raise KeyError(f"imported key {path}/{k} not in model")
+                stats["skipped"].append(f"{path}/{k}")
                 continue
             if isinstance(v, dict):
                 walk(dst[k], v, f"{path}/{k}")
@@ -303,7 +306,14 @@ def merge_into_params(init_params: Dict[str, Any], imported: Dict[str, Any],
                         f"shape mismatch at {path}/{k}: model {have} vs ckpt {want}"
                     )
                 dst[k] = np.asarray(v, np.float32)
+                stats["loaded"] += 1
 
     out = jax.tree_util.tree_map(np.asarray, init_params)
     walk(out, imported)
+    if verbose:
+        msg = f"[pt_import] loaded {stats['loaded']} tensors"
+        if stats["skipped"]:
+            msg += (f"; skipped {len(stats['skipped'])} unknown keys "
+                    f"(e.g. {stats['skipped'][:3]})")
+        print(msg)
     return out
