@@ -272,6 +272,12 @@ class VideoClassyDataset(_PicklableCache):
         view_len = span if self.num_clips == 1 else max(
             span / self.num_clips, min(span, self.clip_length
                                        * self.clip_stride / max(s.fps, 1)))
+        # spatial crops per temporal view: num_crops=3 decodes a wide
+        # frame and takes left/center/right squares (``SpatialCrop``,
+        # transforms.py:74-184); num_crops=1 keeps the center square
+        cs = self.augment.crop_size
+        if self.num_crops == 3:
+            wide = (int(cs * 4 / 3) // 2 * 2, cs)
         for k in range(self.num_clips):
             if self.num_clips == 1:
                 vs, ve = s.start, s.end
@@ -285,10 +291,16 @@ class VideoClassyDataset(_PicklableCache):
                 "MP4" if self.dataset == "ek100_cls" else "mp4",
                 vs, ve, chunk_len=self.chunk_len, fps=s.fps,
                 clip_length=self.clip_length, threads=self.threads,
-                crop=CropSpec(), out_size=size, jitter=False, rng=rng,
-                reader_cache=self._cache,
+                crop=CropSpec(),
+                out_size=wide if self.num_crops == 3 else size,
+                jitter=False, rng=rng, reader_cache=self._cache,
             )
-            views.append(frames)
+            if self.num_crops == 3:
+                w = frames.shape[2]
+                for x0 in (0, (w - cs) // 2, w - cs):
+                    views.append(frames[:, :, x0 : x0 + cs])
+            else:
+                views.append(frames)
         video = np.stack(views) if len(views) > 1 else views[0]
         return {"video": video, "label": self._label(s)}
 

@@ -217,3 +217,20 @@ def test_kinetics_corrupt_file_resamples(tmp_path):
     item = ds[0]  # bad file -> falls through to the good one
     assert item["video"].shape == (2, 32, 32, 3)
     assert int(item["label"]) == 1
+
+
+def test_three_crop_eval_views(tmp_path):
+    root = str(tmp_path)
+    _write_video(osp.join(root, "v0.mp4"), 30)
+    meta = osp.join(root, "list.txt")
+    open(meta, "w").write("v0.mp4 0\n")
+    from avion_tpu.data.datasets import VideoClassyDataset
+
+    ds = VideoClassyDataset(
+        "kinetics", root, meta, is_training=False, clip_length=2,
+        chunk_len=-1, num_clips=2, num_crops=3,
+        augment=AugmentSpec(crop_size=32, mode="center"),
+    )
+    item = ds[0]
+    # 2 temporal x 3 spatial views
+    assert item["video"].shape == (6, 2, 32, 32, 3)
