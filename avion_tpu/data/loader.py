@@ -53,6 +53,7 @@ class DataLoader:
         seed: int = 0,
         epoch: int = 0,
         infinite: bool = False,
+        skip_batches: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -63,6 +64,9 @@ class DataLoader:
         self.seed = seed
         self.epoch = epoch
         self.infinite = infinite
+        # debug: skip the first N batches of the first epoch
+        # (--skip-to-batch, main_lavila_pretrain.py:217-228)
+        self.skip_batches = skip_batches
         self._pool = None
 
     def set_epoch(self, epoch: int):
@@ -78,7 +82,9 @@ class DataLoader:
         if self.shuffle:
             np.random.RandomState(self.seed + epoch).shuffle(order)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
-        for i in range(0, stop, self.batch_size):
+        start = self.skip_batches * self.batch_size if epoch == self.epoch else 0
+        self.skip_batches = 0
+        for i in range(start, stop, self.batch_size):
             yield order[i : i + self.batch_size]
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

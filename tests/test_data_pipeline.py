@@ -234,3 +234,17 @@ def test_three_crop_eval_views(tmp_path):
     item = ds[0]
     # 2 temporal x 3 spatial views
     assert item["video"].shape == (6, 2, 32, 32, 3)
+
+
+def test_loader_skip_batches(ego4d_root):
+    root, meta = ego4d_root
+    ds = VideoCaptionDataset(
+        "ego4d", root, meta, is_training=False, clip_length=2,
+        chunk_len=CHUNK, fps=FPS, augment=AugmentSpec(crop_size=32, mode="center"),
+    )
+    full = list(DataLoader(ds, 1, shuffle=False, drop_last=False,
+                           num_workers=0))
+    skipped = list(DataLoader(ds, 1, shuffle=False, drop_last=False,
+                              num_workers=0, skip_batches=2))
+    assert len(skipped) == len(full) - 2
+    np.testing.assert_array_equal(skipped[0]["video"], full[2]["video"])
