@@ -239,6 +239,89 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dk_ref[:] = dk.astype(dk_ref.dtype)
 
 
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                      bias_ref, dq_ref, dk_ref, dv_ref, *, sm_scale, causal,
+                      seq_len):
+    """Single-program backward when the whole sequence fits one block:
+    computes scores/probabilities ONCE and derives dq, dk, dv together.
+    The transposes the two-kernel split re-derives with extra matmuls
+    become contraction-dimension choices (dot over dim 0), so this
+    saves one S x S matmul and one exp/mask pass over the score tile.
+    lse/delta for padded query rows are +inf / 0 so p's padded rows
+    vanish (they feed the dk/dv contractions over the q dim)."""
+    s_pad = k_ref.shape[0]
+    n_q = q_ref.shape[0]
+    sc = jax.lax.dot_general(
+        q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
+    sc = sc + bias_ref[0:1, :]
+    if causal:
+        col = jax.lax.broadcasted_iota(jnp.int32, (n_q, s_pad), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (n_q, s_pad), 0)
+        sc = jnp.where(col <= row, sc, DEFAULT_MASK_VALUE)
+    lse = lse_ref[:, 0:1]
+    p = jnp.exp(sc - lse)  # [S_q, S_k]; padded q rows -> exp(-inf) = 0
+    dp = jax.lax.dot_general(
+        do_ref[:], v_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    delta = delta_ref[:, 0:1]
+    ds = (p * (dp - delta)).astype(k_ref.dtype)
+    p16 = p.astype(v_ref.dtype)
+    dq = jax.lax.dot_general(
+        ds, k_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
+    dq_ref[:] = dq.astype(dq_ref.dtype)
+    dk = jax.lax.dot_general(
+        ds, q_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv = jax.lax.dot_general(
+        p16, do_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_fused(q, k, v, do, lse, delta, sm_scale, causal, s_pad, interpret):
+    bh, s, d = q.shape
+    pad = s_pad - s
+    qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+    dop = jnp.pad(do, ((0, 0), (0, pad), (0, 0)))
+    # +inf lse on padded rows zeroes their probabilities in-kernel
+    lsep = jnp.pad(lse, ((0, 0), (0, pad)), constant_values=1e30)[..., None]
+    lsep = jnp.broadcast_to(lsep, (bh, s_pad, 128))
+    dlt = jnp.pad(delta, ((0, 0), (0, pad)))[..., None]
+    dlt = jnp.broadcast_to(dlt, (bh, s_pad, 128))
+    bias = jnp.broadcast_to(
+        jnp.where(jnp.arange(s_pad) < s, 0.0, DEFAULT_MASK_VALUE
+                  ).astype(jnp.float32)[None, :], (8, s_pad))
+
+    full = lambda b: (b, 0, 0)
+    spec = pl.BlockSpec((None, s_pad, d), full)
+    col128 = pl.BlockSpec((None, s_pad, 128), full)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, sm_scale=sm_scale,
+                          causal=causal, seq_len=s),
+        grid=(bh,),
+        in_specs=[spec, spec, spec, spec, col128, col128,
+                  pl.BlockSpec((8, s_pad), lambda b: (0, 0))],
+        out_specs=[spec, spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, s_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, s_pad, d), v.dtype),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, dlt, bias)
+    return dq[:, :s], dk[:, :s], dv[:, :s]
+
+
 def _bwd(sm_scale, causal, block_q, interpret, res, g):
     q, k, v, out, lse = res
     do = g
@@ -249,6 +332,12 @@ def _bwd(sm_scale, causal, block_q, interpret, res, g):
     s_pad_q = _ceil_to(s, block_q)
     s_pad_k = _ceil_to(s, block_k)
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+
+    if s_pad_q == block_q and s_pad_q == s_pad_k:
+        # whole sequence in one block (the ViT/text regime): fused
+        # single-program backward
+        return _bwd_fused(q, k, v, do, lse, delta, sm_scale, causal,
+                          s_pad_q, interpret)
 
     qp = jnp.pad(q, ((0, 0), (0, s_pad_q - s), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, s_pad_k - s), (0, 0)))

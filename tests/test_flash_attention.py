@@ -55,3 +55,27 @@ def test_bf16_forward_close(rng):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref), atol=3e-2, rtol=3e-2
     )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_grads_multiblock_path(rng, causal):
+    """Force block_q < seq so the two-kernel backward runs (the fused
+    single-block kernel handles the default ViT/text regime)."""
+    q, k, v = _mk(rng, b=1, s=300, h=2, d=64)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, causal=causal, block_q=128,
+                            interpret=True)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_ref(q, k, v):
+        o = xla_attention(q, k, v, causal=causal)
+        return jnp.sum(o * jnp.cos(o))
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4,
+            err_msg=f"d{name} mismatch",
+        )
