@@ -333,11 +333,11 @@ def _bwd(sm_scale, causal, block_q, interpret, res, g):
     s_pad_k = _ceil_to(s, block_k)
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
 
-    if s_pad_q == block_q and s_pad_q == s_pad_k:
-        # whole sequence in one block (the ViT/text regime): fused
-        # single-program backward
-        return _bwd_fused(q, k, v, do, lse, delta, sm_scale, causal,
-                          s_pad_q, interpret)
+    # NOTE: a fused single-program backward (_bwd_fused) was measured
+    # SLOWER than this two-kernel split on v5e (17.3 vs 14.1 ms at ViT-B
+    # shapes): the dim-0 contractions it needs for dk/dv cost more on
+    # the MXU than the one S x S matmul it saves, and its ~10MB working
+    # set hurts pipelining.  Kept (tested) for reference; not dispatched.
 
     qp = jnp.pad(q, ((0, 0), (0, s_pad_q - s), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, s_pad_k - s), (0, 0)))

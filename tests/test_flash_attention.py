@@ -79,3 +79,27 @@ def test_grads_multiblock_path(rng, causal):
             np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4,
             err_msg=f"d{name} mismatch",
         )
+
+
+def test_fused_bwd_matches_twokernel(rng):
+    """_bwd_fused (kept for reference; not dispatched) agrees with the
+    production two-kernel backward."""
+    from avion_tpu.ops import flash_attention as fa
+
+    q, k, v = _mk(rng, b=1, s=150, h=2, d=64)
+    sm = 0.125
+    out, lse = fa._fwd(
+        q.transpose(0, 2, 1, 3).reshape(2, 150, 64),
+        k.transpose(0, 2, 1, 3).reshape(2, 150, 64),
+        v.transpose(0, 2, 1, 3).reshape(2, 150, 64),
+        sm, False, None, True)
+    do = jnp.ones_like(out)
+    delta = jnp.sum(do * out, axis=-1)
+    qf = q.transpose(0, 2, 1, 3).reshape(2, 150, 64)
+    kf = k.transpose(0, 2, 1, 3).reshape(2, 150, 64)
+    vf = v.transpose(0, 2, 1, 3).reshape(2, 150, 64)
+    ref = fa._bwd(sm, False, 128, True, (qf, kf, vf, out, lse), do)
+    fused = fa._bwd_fused(qf, kf, vf, do, lse, delta, sm, False, 256, True)
+    for a, b, name in zip(fused, ref, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4, err_msg=name)
