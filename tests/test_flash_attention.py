@@ -84,7 +84,7 @@ def test_grads_multiblock_path(rng, causal):
 def test_fused_bwd_matches_twokernel(rng):
     """_bwd_fused (kept for reference; not dispatched) agrees with the
     production two-kernel backward."""
-    from avion_tpu.ops import flash_attention as fa
+    import avion_tpu.ops.flash_attention as fa
 
     q, k, v = _mk(rng, b=1, s=150, h=2, d=64)
     sm = 0.125
