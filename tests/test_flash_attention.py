@@ -84,7 +84,11 @@ def test_grads_multiblock_path(rng, causal):
 def test_fused_bwd_matches_twokernel(rng):
     """_bwd_fused (kept for reference; not dispatched) agrees with the
     production two-kernel backward."""
-    import avion_tpu.ops.flash_attention as fa
+    # the package re-exports the function under the same name, shadowing
+    # the submodule on attribute import — resolve the module explicitly
+    import importlib
+
+    fa = importlib.import_module("avion_tpu.ops.flash_attention")
 
     q, k, v = _mk(rng, b=1, s=150, h=2, d=64)
     sm = 0.125
