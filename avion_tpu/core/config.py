@@ -84,6 +84,8 @@ class ModelConfig:
     embed_dim: int = 512
     # knobs (names follow the reference CLI)
     use_grad_checkpointing: bool = False
+    # remat policy: save_attn | full (see models/layers.Transformer)
+    remat_policy: str = "save_attn"
     use_fast_conv1: bool = True
     use_flash_attn: bool = True
     use_quick_gelu: bool = True  # reference silently drops this; we honor it

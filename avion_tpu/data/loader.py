@@ -39,6 +39,16 @@ class DataLoader:
 
     num_workers=0 -> synchronous in-process loading (debuggable);
     otherwise a fork-based process pool decodes batches ahead of time.
+
+    ``batch_size`` is GLOBAL: under multi-host jax each process yields
+    ``batch_size // process_count`` rows from a disjoint slice of the
+    (identically-seeded) permutation, and ``make_global_batch`` glues
+    the host shards into the global batch — DistributedSampler
+    semantics (``avion/utils/distributed.py:75-97`` + the reference's
+    per-rank sampler at ``main_lavila_pretrain.py:557-573``).
+    Sharding activates when ``shard_across_hosts`` (default: only for
+    shuffling/training loaders — eval loaders iterate the full set on
+    every host and slice local rows at device-put time instead).
     """
 
     def __init__(
@@ -54,9 +64,29 @@ class DataLoader:
         epoch: int = 0,
         infinite: bool = False,
         skip_batches: int = 0,
+        shard_across_hosts: Optional[bool] = None,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
+        if process_count is None:
+            try:
+                import jax
+
+                process_index = jax.process_index()
+                process_count = jax.process_count()
+            except Exception:
+                process_index, process_count = 0, 1
+        self.process_index = process_index
+        self.process_count = process_count
+        if shard_across_hosts is None:
+            shard_across_hosts = shuffle
+        self.shard_across_hosts = shard_across_hosts and process_count > 1
+        if self.shard_across_hosts:
+            assert batch_size % process_count == 0, (batch_size, process_count)
         self.dataset = dataset
-        self.batch_size = batch_size
+        self.batch_size = batch_size  # global
+        self.local_batch = (batch_size // process_count
+                            if self.shard_across_hosts else batch_size)
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = num_workers
@@ -72,20 +102,41 @@ class DataLoader:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
-    def __len__(self):
-        n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
-
-    def _index_batches(self, epoch: int):
+    def _host_order(self, epoch: int) -> np.ndarray:
+        """This host's index slice: same-seed permutation on every host,
+        pad/trim to a multiple of process_count, interleaved slice."""
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
             np.random.RandomState(self.seed + epoch).shuffle(order)
-        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
-        start = self.skip_batches * self.batch_size if epoch == self.epoch else 0
+        if not self.shard_across_hosts:
+            return order
+        world = self.process_count
+        if self.drop_last:
+            total = (n // world) * world
+            order = order[:total]
+        else:
+            total = -(-n // world) * world
+            order = np.concatenate([order, order[: total - n]])
+        return order[self.process_index::world]
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.shard_across_hosts:
+            world = self.process_count
+            n = (n // world) if self.drop_last else -(-n // world)
+        b = self.local_batch
+        return n // b if self.drop_last else -(-n // b)
+
+    def _index_batches(self, epoch: int):
+        order = self._host_order(epoch)
+        n = len(order)
+        b = self.local_batch
+        stop = (n // b) * b if self.drop_last else n
+        start = self.skip_batches * b if epoch == self.epoch else 0
         self.skip_batches = 0
-        for i in range(start, stop, self.batch_size):
-            yield order[i : i + self.batch_size]
+        for i in range(start, stop, b):
+            yield order[i : i + b]
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         epoch = self.epoch

@@ -149,11 +149,17 @@ def load_clip(
         if not rel:
             continue
         path = osp.join(root, f"{vid}.{ext}", f"{chunk}.{ext}")
+        vr = None  # bind before try: open_reader may raise, and a stale
+        # reader from the previous chunk must never be substituted
         try:
             vr = open_reader(path)
             frames = vr.get_batch(rel, crop, out_size)
-        except DecodeError:
+        except DecodeError as e:
+            print(f"[sampling] decode failed for {path}: {e}; "
+                  f"substituting {'frame 0' if vr is not None else 'zeros'}")
             try:
+                if vr is None:
+                    raise DecodeError(path)
                 frames = vr.get_batch([0] * len(rel), crop, out_size)
             except Exception:
                 size = out_size or (224, 224)

@@ -88,6 +88,8 @@ def main(argv=None):
         t = type(getattr(cfg, k))
         setattr(cfg, k, t(v) if t is not bool else v.lower() == "true")
     os.makedirs(cfg.output_dir, exist_ok=True)
+    from avion_tpu.parallel.launch import setup_host
+    setup_host(cfg.seed)
 
     train_samples = parse_nlq_annotations(cfg.annotations)
     train_ds = NLQFeatureDataset(train_samples, cfg.feature_dir,

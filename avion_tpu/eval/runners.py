@@ -56,25 +56,38 @@ class CLIPEncoders:
         mean = mean if mean is not None else OPENAI_MEAN
         std = std if std is not None else OPENAI_STD
 
-        @jax.jit
         def _img(params, video):
             v = normalize_video(video, mean, std, dtype=model.dtype)
             return model.apply({"params": params}, v,
                                method=model.encode_image)
 
-        @jax.jit
         def _txt(params, text):
             return model.apply({"params": params}, text,
                                method=model.encode_text)
 
-        self._img, self._txt = _img, _txt
+        # multi-host: replicate embeddings so every process can pull the
+        # full result to host (shards on other hosts are unaddressable;
+        # replaces the reference's eval all_gather,
+        # evaluation_ek100mir.py:255-256)
+        kw = {}
+        if mesh is not None and jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            kw["out_shardings"] = NamedSharding(mesh, PartitionSpec())
+        self._img = jax.jit(_img, **kw)
+        self._txt = jax.jit(_txt, **kw)
 
     @classmethod
     def cached(cls, model, params, batch: int = 64, mesh=None):
         """Reuse jitted encoders across calls (fresh instances would
-        recompile both towers every validation epoch)."""
+        recompile both towers every validation epoch).  The cached
+        encoder holds strong refs to model/mesh; identity is re-checked
+        so an id-recycled key can never return encoders for a different
+        model."""
         key = (id(model), batch, id(mesh))
         enc = _ENCODER_CACHE.get(key)
+        if enc is not None and (enc.model is not model or enc.mesh is not mesh):
+            enc = None
         if enc is None:
             enc = cls(model, params, batch=batch, mesh=mesh)
             _ENCODER_CACHE[key] = enc
@@ -87,7 +100,15 @@ class CLIPEncoders:
             return chunk
         from avion_tpu.parallel.sharding import batch_sharding
 
-        return jax.device_put(chunk, batch_sharding(self.mesh, chunk.ndim))
+        sh = batch_sharding(self.mesh, chunk.ndim)
+        if jax.process_count() == 1:
+            return jax.device_put(chunk, sh)
+        # every host iterates the full eval set; feed only this
+        # process's rows of the padded chunk
+        world, pidx = jax.process_count(), jax.process_index()
+        local = chunk.shape[0] // world
+        return jax.make_array_from_process_local_data(
+            sh, chunk[pidx * local : (pidx + 1) * local])
 
     def _sweep(self, fn, arr: np.ndarray) -> np.ndarray:
         n = arr.shape[0]
@@ -252,16 +273,28 @@ def _softmax(x):
     return e / e.sum(axis=-1, keepdims=True)
 
 
-def validate_all(encoders: CLIPEncoders, suites: Dict[str, Callable]) -> Dict[str, float]:
+def validate_all(encoders: CLIPEncoders, suites: Dict[str, Callable],
+                 strict: bool = False) -> Dict[str, float]:
     """Fan out over configured suites (``avion/utils/validate.py:8-72``);
     each suite is a zero-arg callable returning a metric dict; results
-    are flattened to ``test_<suite>_<metric>``."""
+    are flattened to ``test_<suite>_<metric>``.
+
+    With ``strict`` (standalone eval) a failing suite raises; inside a
+    training run failures are survivable but loud — full traceback plus
+    a ``test_<suite>_error`` sentinel so a misconfigured suite never
+    masquerades as "suite not configured"."""
+    import traceback
+
     out = {}
     for name, fn in suites.items():
         try:
             metrics = fn()
-        except Exception as e:  # a failing suite shouldn't kill training
-            print(f"[validate_all] suite {name} failed: {e}")
+        except Exception:
+            if strict:
+                raise
+            print(f"[validate_all] suite {name} FAILED:\n"
+                  f"{traceback.format_exc()}")
+            out[f"test_{name}_error"] = 1.0
             continue
         for k, v in metrics.items():
             out[f"test_{name}_{k}"] = float(v)

@@ -159,6 +159,7 @@ def build_suites(encoders: CLIPEncoders, data_cfg, env=None) -> Dict:
     return suites
 
 
-def run_validation(model, params, data_cfg, env=None) -> Dict[str, float]:
+def run_validation(model, params, data_cfg, env=None,
+                   strict: bool = False) -> Dict[str, float]:
     enc = CLIPEncoders.cached(model, params, batch=data_cfg.val_batch_size)
-    return validate_all(enc, build_suites(enc, data_cfg, env))
+    return validate_all(enc, build_suites(enc, data_cfg, env), strict=strict)

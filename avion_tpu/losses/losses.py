@@ -108,9 +108,16 @@ def videomae_loss(
 
     tubes = tube_patchify(video.astype(jnp.float32), patch_size, tubelet_size)
     if normalize_target:
-        mean = tubes.mean(axis=-1, keepdims=True)
-        var = tubes.var(axis=-1, keepdims=True)
-        tubes = (tubes - mean) / jnp.sqrt(var + 1e-6)
+        # per-CHANNEL stats over the tube's spatial elements, unbiased
+        # variance, std + eps in the denominator — exactly the reference
+        # target (main_videomae_pretrain.py:322-328)
+        b, n, d = tubes.shape
+        spatial = tubelet_size * patch_size * patch_size
+        ch = tubes.reshape(b, n, spatial, d // spatial)
+        mean = ch.mean(axis=-2, keepdims=True)
+        var = ch.var(axis=-2, keepdims=True, ddof=1)
+        ch = (ch - mean) / (jnp.sqrt(var) + 1e-6)
+        tubes = ch.reshape(b, n, d)
     target = jnp.take_along_axis(
         tubes, masked_idx[..., None], axis=1
     )

@@ -14,6 +14,7 @@ import math
 from typing import Any, Callable, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from avion_tpu.models.layers import quick_gelu
@@ -42,6 +43,7 @@ class CLIP(nn.Module):
     pooling: str = "cls"
     patch_dropout_rate: float = 0.0
     remat: bool = False
+    remat_policy: str = "save_attn"
     freeze_temperature: bool = False
     temperature_init: float = 0.07
     dtype: Any = jnp.bfloat16
@@ -55,12 +57,14 @@ class CLIP(nn.Module):
             output_dim=self.embed_dim, act=act, dtype=self.dtype,
             use_flash=self.use_flash, pooling=self.pooling,
             patch_dropout_rate=self.patch_dropout_rate, remat=self.remat,
+            remat_policy=self.remat_policy,
         )
         self.textual = TextTransformer(
             context_length=self.context_length, vocab_size=self.vocab_size,
             width=self.text_width, heads=self.text_heads,
             layers=self.text_layers, output_dim=self.embed_dim, act=act,
             dtype=self.dtype, use_flash=self.use_flash, remat=self.remat,
+            remat_policy=self.remat_policy,
         )
         self.logit_scale = self.param(
             "logit_scale",
@@ -81,7 +85,10 @@ class CLIP(nn.Module):
         txt = self.encode_text(text, deterministic)
         scale = jnp.exp(self.logit_scale)
         if self.freeze_temperature:
-            scale = jnp.asarray(1.0 / self.temperature_init, jnp.float32)
+            # keep the (possibly checkpoint-loaded) value, just block its
+            # gradient — the reference freezes the loaded parameter via
+            # requires_grad_(False), it does not reset it
+            scale = jax.lax.stop_gradient(scale)
         return {"image_embed": img, "text_embed": txt, "logit_scale": scale}
 
 

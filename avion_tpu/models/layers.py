@@ -180,10 +180,15 @@ class Transformer(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         block_cls = Block
         if self.remat:
-            policy = None
             if self.remat_policy == "save_attn":
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "attn_out")
+            elif self.remat_policy == "full":
+                policy = None  # recompute everything in backward
+            else:
+                raise ValueError(
+                    f"unknown remat_policy {self.remat_policy!r} "
+                    f"(expected 'save_attn' or 'full')")
             block_cls = nn.remat(Block, static_argnums=(2,), policy=policy)
         for i in range(self.layers):
             dp = self.drop_path_rate * i / max(1, self.layers - 1)

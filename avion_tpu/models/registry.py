@@ -48,6 +48,7 @@ def _clip_factory(
         use_quick_gelu: bool = True,
         use_flash_attn: bool = True,
         use_grad_checkpointing: bool = False,
+        remat_policy: str = "save_attn",
         patch_dropout: float = 0.0,
         pooling: str = "cls",
         freeze_temperature: bool = False,
@@ -75,6 +76,7 @@ def _clip_factory(
             pooling=pooling,
             patch_dropout_rate=patch_dropout,
             remat=use_grad_checkpointing,
+            remat_policy=remat_policy,
             freeze_temperature=freeze_temperature,
             temperature_init=temperature_init,
             dtype=dtype if dtype is not None else jnp.bfloat16,
@@ -130,6 +132,7 @@ def _clip_tiny(
     project_embed_dim: int = 32,
     use_flash_attn: bool = False,
     use_grad_checkpointing: bool = False,
+    remat_policy: str = "save_attn",
     use_quick_gelu: bool = True,
     dtype=None,
     **_unused,
@@ -145,6 +148,7 @@ def _clip_tiny(
         vision_heads=2, context_length=77, vocab_size=49408, text_width=32,
         text_heads=2, text_layers=2, use_quick_gelu=use_quick_gelu,
         use_flash=use_flash_attn, remat=use_grad_checkpointing,
+        remat_policy=remat_policy,
         dtype=dtype if dtype is not None else jnp.float32,
     )
 
@@ -186,6 +190,7 @@ def _videomae_vitb16(
     num_frames: int = 16,
     use_flash_attn: bool = True,
     use_grad_checkpointing: bool = False,
+    remat_policy: str = "save_attn",
     decoder_depth: int = 4,
     drop_path_rate: float = 0.0,
     mask_ratio: float = 0.9,
@@ -201,7 +206,8 @@ def _videomae_vitb16(
         encoder_width=768, encoder_layers=12, encoder_heads=12,
         decoder_width=384, decoder_layers=decoder_depth, decoder_heads=6,
         tubelet_size=2, mask_ratio=mask_ratio, use_flash=use_flash_attn,
-        remat=use_grad_checkpointing, drop_path_rate=drop_path_rate,
+        remat=use_grad_checkpointing, remat_policy=remat_policy,
+        drop_path_rate=drop_path_rate,
         dtype=dtype if dtype is not None else jnp.bfloat16,
     )
 
@@ -212,6 +218,7 @@ def _videomae_vitb16_ft(
     num_classes: int = 400,
     use_flash_attn: bool = True,
     use_grad_checkpointing: bool = False,
+    remat_policy: str = "save_attn",
     drop_path_rate: float = 0.1,
     fc_drop_rate: float = 0.0,
     dtype=None,
@@ -225,7 +232,8 @@ def _videomae_vitb16_ft(
         image_size=224, patch_size=16, num_frames=num_frames,
         width=768, layers=12, heads=12, num_classes=num_classes,
         tubelet_size=2, use_flash=use_flash_attn,
-        remat=use_grad_checkpointing, drop_path_rate=drop_path_rate,
+        remat=use_grad_checkpointing, remat_policy=remat_policy,
+        drop_path_rate=drop_path_rate,
         fc_drop_rate=fc_drop_rate,
         dtype=dtype if dtype is not None else jnp.bfloat16,
     )

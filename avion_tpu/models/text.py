@@ -28,6 +28,7 @@ class TextTransformer(nn.Module):
     dtype: Any = jnp.bfloat16
     use_flash: bool = True
     remat: bool = False
+    remat_policy: str = "save_attn"
 
     @nn.compact
     def __call__(self, text, deterministic: bool = True):
@@ -44,7 +45,8 @@ class TextTransformer(nn.Module):
         x = x + pos[: x.shape[1]].astype(self.dtype)[None]
         x = Transformer(
             self.width, self.layers, self.heads, 4.0, self.act, self.dtype,
-            self.use_flash, True, None, 0.0, self.remat, name="transformer",
+            self.use_flash, True, None, 0.0, self.remat, self.remat_policy,
+            name="transformer",
         )(x, deterministic)
         x = LayerNorm(dtype=self.dtype, name="ln_final")(x)
         # EOT token = highest id in each sequence (CLIP BPE: EOT is max id)

@@ -78,6 +78,7 @@ class PretrainVideoMAE(nn.Module):
     mask_ratio: float = 0.9
     use_flash: bool = True
     remat: bool = False
+    remat_policy: str = "save_attn"
     drop_path_rate: float = 0.0
     dtype: Any = jnp.bfloat16
 
@@ -127,7 +128,8 @@ class PretrainVideoMAE(nn.Module):
         xv = Transformer(
             self.encoder_width, self.encoder_layers, self.encoder_heads, 4.0,
             nn.gelu, self.dtype, self.use_flash, False, None,
-            self.drop_path_rate, self.remat, name="encoder",
+            self.drop_path_rate, self.remat, self.remat_policy,
+            name="encoder",
         )(xv, deterministic)
         xv = LayerNorm(dtype=self.dtype, name="encoder_norm")(xv)
         xv = nn.Dense(self.decoder_width, use_bias=False, dtype=self.dtype,
@@ -153,6 +155,7 @@ class PretrainVideoMAE(nn.Module):
         full = Transformer(
             self.decoder_width, self.decoder_layers, self.decoder_heads, 4.0,
             nn.gelu, self.dtype, self.use_flash, False, None, 0.0, self.remat,
+            self.remat_policy,
             name="decoder",
         )(full, deterministic)
         full = LayerNorm(dtype=self.dtype, name="decoder_norm")(full)
@@ -177,6 +180,7 @@ class FinetuneVideoMAE(nn.Module):
     num_classes: int = 400
     use_flash: bool = True
     remat: bool = False
+    remat_policy: str = "save_attn"
     drop_path_rate: float = 0.1
     fc_drop_rate: float = 0.0
     dtype: Any = jnp.bfloat16
@@ -192,6 +196,7 @@ class FinetuneVideoMAE(nn.Module):
         x = Transformer(
             self.width, self.layers, self.heads, 4.0, nn.gelu, self.dtype,
             self.use_flash, False, None, self.drop_path_rate, self.remat,
+            self.remat_policy,
             name="encoder",
         )(x, deterministic)
         x = x.mean(axis=1)

@@ -49,6 +49,7 @@ class VisionTransformer(nn.Module):
     ls_init_value: Optional[float] = None
     drop_path_rate: float = 0.0
     remat: bool = False
+    remat_policy: str = "save_attn"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -100,7 +101,8 @@ class VisionTransformer(nn.Module):
         x = Transformer(
             self.width, self.layers, self.heads, self.mlp_ratio, self.act,
             self.dtype, self.use_flash, False, self.ls_init_value,
-            self.drop_path_rate, self.remat, name="transformer",
+            self.drop_path_rate, self.remat, self.remat_policy,
+            name="transformer",
         )(x, deterministic)
 
         if self.pooling == "none":

@@ -80,6 +80,19 @@ def scale_by_tree(scales: Any) -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def apply_batch_lr_scale(cfg, global_batch: int, default_base: int = 0):
+    """Linear-scaling rule for finetunes: LR x= global_batch / base
+    (``main_lavila_finetune_cls.py:367-370`` uses 128,
+    ``main_videomae_finetune.py:285-288`` uses 256).  ``global_batch``
+    is the full cross-host batch.  Mutates cfg.lr once and clears the
+    knob so repeated calls cannot compound."""
+    base = cfg.lr_scale_by_batch or default_base
+    if base:
+        cfg.lr = cfg.lr * global_batch / base
+        cfg.lr_scale_by_batch = None
+    return cfg.lr
+
+
 def build_optimizer(
     cfg,
     params,
@@ -89,14 +102,8 @@ def build_optimizer(
     """Build the optax chain from an OptimConfig. Returns (tx, lr_schedule)."""
     from avion_tpu.optim.schedules import cosine_schedule
 
-    lr = cfg.lr
-    if cfg.lr_scale_by_batch:
-        # finetunes scale LR by total_batch / base (e.g. 128 or 256 —
-        # scripts/main_lavila_finetune_cls.py:367-370)
-        lr = cfg.lr  # caller pre-scales; kept for interface clarity
-
     schedule = cosine_schedule(
-        lr, cfg.lr_end, cfg.epochs, niter_per_ep, cfg.warmup_epochs,
+        cfg.lr, cfg.lr_end, cfg.epochs, niter_per_ep, cfg.warmup_epochs,
         cfg.lr_start,
     )
     mask = wd_mask(params)

@@ -62,12 +62,22 @@ def init_distributed(
     ``distributed.py:83-86``)."""
     import jax
 
+    if coordinator_address is None and "AVION_COORDINATOR" in os.environ:
+        # generic launcher (the torchrun-env analogue,
+        # avion/utils/distributed.py:76-83)
+        coordinator_address = os.environ["AVION_COORDINATOR"]
+        num_processes = num_processes or int(
+            os.environ.get("AVION_NUM_PROCESSES", 1))
+        process_id = process_id if process_id is not None else int(
+            os.environ.get("AVION_PROCESS_ID", 0))
     if coordinator_address is None and "SLURM_PROCID" in os.environ:
         coordinator_address = _slurm_coordinator()
         num_processes = num_processes or int(os.environ.get("SLURM_NTASKS", 1))
         process_id = process_id if process_id is not None else int(
             os.environ["SLURM_PROCID"])
 
+    tpu_hosts = [h for h in
+                 (os.environ.get("TPU_WORKER_HOSTNAMES") or "").split(",") if h]
     try:
         if coordinator_address:
             jax.distributed.initialize(
@@ -75,9 +85,12 @@ def init_distributed(
                 num_processes=num_processes,
                 process_id=process_id,
             )
-        elif os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get(
+        elif len(tpu_hosts) > 1 or os.environ.get(
                 "MEGASCALE_COORDINATOR_ADDRESS"):
-            jax.distributed.initialize()  # TPU pod: autodetected
+            # TPU pod: autodetected.  A single-entry hostname list is a
+            # single-host run — skip (some images export
+            # TPU_WORKER_HOSTNAMES=localhost unconditionally).
+            jax.distributed.initialize()
     except Exception as e:
         print(f"[launch] jax.distributed not initialized ({e}); "
               f"running single-process")
@@ -90,3 +103,22 @@ def seed_for_host(base_seed: int) -> int:
     import jax
 
     return base_seed + jax.process_index()
+
+
+def setup_host(base_seed: int = 0) -> int:
+    """Standard multi-host bring-up, called first thing by every train
+    entry (before any other jax use): initialize ``jax.distributed``
+    when launched on a pod/SLURM (no-op single-process), install the
+    SIGTERM/SIGUSR1 preemption handler, and decorrelate host-side data
+    augmentation RNG per process (the reference seeds per rank,
+    ``avion/utils/distributed.py:9-12``).  Model init and train-step
+    PRNG keys stay host-independent — under multi-controller jax every
+    process must build the identical program.
+
+    Returns this host's process index."""
+    import numpy as np
+
+    pidx = init_distributed()
+    install_preemption_handler()
+    np.random.seed(seed_for_host(base_seed) % (2 ** 31))
+    return pidx

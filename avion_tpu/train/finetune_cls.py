@@ -26,6 +26,7 @@ from avion_tpu.models.layers import quick_gelu
 from avion_tpu.optim import build_optimizer
 from avion_tpu.train.augment_device import mixup_cutmix
 from avion_tpu.train.common import extract_visual_params, load_pretrained_params
+from avion_tpu.parallel.launch import setup_host
 from avion_tpu.train.loop import save_epoch, setup_run, train_one_epoch
 from avion_tpu.train.steps import make_cls_train_step
 
@@ -81,6 +82,9 @@ def main(argv=None):
     cfg = env_defaults(TrainConfig().apply_overrides(argv))
     os.makedirs(cfg.output_dir, exist_ok=True)
     cfg.save(os.path.join(cfg.output_dir, "config.json"))
+    # multi-host bring-up BEFORE any jax use (jax.distributed must
+    # init before the backend); installs the preemption handler
+    setup_host(cfg.seed)
     d = cfg.data
 
     labels, pairs, mapping = load_actions(d.label_map)
@@ -112,7 +116,8 @@ def main(argv=None):
         print(f"[init] visual tower from {cfg.pretrain_model}")
 
     # LR x global_batch / 128 (main_lavila_finetune_cls.py:367-370)
-    cfg.optim.lr = cfg.optim.lr * d.batch_size / 128
+    from avion_tpu.optim.factory import apply_batch_lr_scale
+    apply_batch_lr_scale(cfg.optim, d.batch_size, default_base=128)
     train_ds = VideoClassyDataset(
         "ek100_cls", d.root, d.train_metadata, is_training=True,
         clip_length=d.clip_length, chunk_len=d.chunk_len,

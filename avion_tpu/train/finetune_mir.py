@@ -20,6 +20,7 @@ from avion_tpu.data.loader import DataLoader
 from avion_tpu.models import create_model
 from avion_tpu.optim import build_optimizer
 from avion_tpu.train.common import load_pretrained_params
+from avion_tpu.parallel.launch import setup_host
 from avion_tpu.train.loop import save_epoch, setup_run, train_one_epoch
 from avion_tpu.train.steps import make_mir_finetune_step
 
@@ -43,6 +44,9 @@ def main(argv=None):
     cfg = env_defaults(TrainConfig().apply_overrides(argv))
     os.makedirs(cfg.output_dir, exist_ok=True)
     cfg.save(os.path.join(cfg.output_dir, "config.json"))
+    # multi-host bring-up BEFORE any jax use (jax.distributed must
+    # init before the backend); installs the preemption handler
+    setup_host(cfg.seed)
 
     d = cfg.data
     train_ds = VideoCaptionDataset(

@@ -29,6 +29,7 @@ from avion_tpu.data.datasets import AugmentSpec, VideoCaptionDataset
 from avion_tpu.data.loader import DataLoader
 from avion_tpu.models import create_model
 from avion_tpu.optim import build_optimizer
+from avion_tpu.parallel.launch import setup_host
 from avion_tpu.train.loop import save_epoch, setup_run, train_one_epoch
 from avion_tpu.train.steps import make_clip_train_step
 
@@ -52,6 +53,7 @@ def build_model_and_state(cfg: TrainConfig, niter_per_ep: int):
         use_quick_gelu=m.use_quick_gelu,
         use_flash_attn=m.use_flash_attn,
         use_grad_checkpointing=m.use_grad_checkpointing,
+        remat_policy=m.remat_policy,
         patch_dropout=m.patch_dropout,
         pooling=m.pooling,
         freeze_temperature=m.freeze_temperature,
@@ -115,6 +117,9 @@ def main(argv=None):
     cfg = env_defaults(TrainConfig().apply_overrides(argv))
     os.makedirs(cfg.output_dir, exist_ok=True)
     cfg.save(os.path.join(cfg.output_dir, "config.json"))
+    # multi-host bring-up BEFORE any jax use (jax.distributed must
+    # init before the backend); installs the preemption handler
+    setup_host(cfg.seed)
 
     train_ds, train_loader = build_loaders(cfg)
     niter = max(1, len(train_loader))

@@ -28,6 +28,7 @@ from avion_tpu.data.loader import DataLoader
 from avion_tpu.models import create_model
 from avion_tpu.models.narrator import caption_loss
 from avion_tpu.optim import build_optimizer
+from avion_tpu.parallel.launch import setup_host
 from avion_tpu.train.loop import save_epoch, setup_run, train_one_epoch
 from avion_tpu.train.steps import _finite_or_skip, prep_video
 
@@ -71,6 +72,9 @@ def main(argv=None):
     d.train_metadata = d.train_metadata or os.environ.get("TRAIN_METADATA", "")
     os.makedirs(cfg.output_dir, exist_ok=True)
     cfg.save(os.path.join(cfg.output_dir, "config.json"))
+    # multi-host bring-up BEFORE any jax use (jax.distributed must
+    # init before the backend); installs the preemption handler
+    setup_host(cfg.seed)
 
     name = cfg.model.name if cfg.model.name.startswith("VCLM") else "VCLM_VITB16"
     model = create_model(name, num_frames=d.clip_length,

@@ -23,6 +23,7 @@ from avion_tpu.data.rand_augment import rand_augment_clip, random_erase_clip
 from avion_tpu.models import create_model
 from avion_tpu.optim import build_optimizer
 from avion_tpu.train.augment_device import mixup_cutmix
+from avion_tpu.parallel.launch import setup_host
 from avion_tpu.train.loop import save_epoch, setup_run, train_one_epoch
 from avion_tpu.train.steps import make_cls_train_step
 
@@ -61,6 +62,9 @@ def main(argv=None):
     d.val_metadata = d.val_metadata or os.environ.get("K400_VAL_LIST", "")
     os.makedirs(cfg.output_dir, exist_ok=True)
     cfg.save(os.path.join(cfg.output_dir, "config.json"))
+    # multi-host bring-up BEFORE any jax use (jax.distributed must
+    # init before the backend); installs the preemption handler
+    setup_host(cfg.seed)
 
     num_classes = cfg.model.num_classes or 400
     name = (cfg.model.name if "VIDEOMAE" in cfg.model.name
@@ -99,7 +103,8 @@ def main(argv=None):
     niter = max(1, len(train_loader))
 
     # LR x global_batch / 256 (main_videomae_finetune.py:285-288)
-    cfg.optim.lr = cfg.optim.lr * d.batch_size / 256
+    from avion_tpu.optim.factory import apply_batch_lr_scale
+    apply_batch_lr_scale(cfg.optim, d.batch_size, default_base=256)
     tx, _ = build_optimizer(cfg.optim, params, niter,
                             num_layers=model.layers)
 

@@ -19,6 +19,7 @@ from avion_tpu.data.datasets import AugmentSpec, KineticsDataset
 from avion_tpu.data.loader import DataLoader
 from avion_tpu.models import create_model
 from avion_tpu.optim import build_optimizer
+from avion_tpu.parallel.launch import setup_host
 from avion_tpu.train.loop import save_epoch, setup_run, train_one_epoch
 from avion_tpu.train.steps import make_videomae_train_step
 
@@ -35,6 +36,9 @@ def main(argv=None):
     d.train_metadata = d.train_metadata or os.environ.get("K400_TRAIN_LIST", "")
     os.makedirs(cfg.output_dir, exist_ok=True)
     cfg.save(os.path.join(cfg.output_dir, "config.json"))
+    # multi-host bring-up BEFORE any jax use (jax.distributed must
+    # init before the backend); installs the preemption handler
+    setup_host(cfg.seed)
 
     name = cfg.model.name if "VIDEOMAE" in cfg.model.name else "VIDEOMAE_VITB16"
     model = create_model(

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from avion_tpu.losses import (
     clip_loss,
@@ -90,18 +91,52 @@ def test_soft_target_ce_matches_hard():
     )
 
 
+def _reference_norm_target(video, p, ts):
+    """Reference target (main_videomae_pretrain.py:322-328): per-channel
+    stats over the tube's spatial elements, unbiased var, std + eps."""
+    from avion_tpu.models.videomae import tube_patchify
+
+    tubes = np.asarray(tube_patchify(jnp.asarray(video), p, ts))
+    b, n, d = tubes.shape
+    ch = tubes.reshape(b, n, ts * p * p, d // (ts * p * p))
+    mean = ch.mean(-2, keepdims=True)
+    var = ch.var(-2, keepdims=True, ddof=1)
+    return ((ch - mean) / (np.sqrt(var) + 1e-6)).reshape(b, n, d)
+
+
 def test_videomae_loss_zero_when_pred_equals_target():
     rs = np.random.RandomState(4)
     video = rs.randn(2, 4, 32, 32, 3).astype(np.float32)
-    from avion_tpu.models.videomae import tube_patchify
-
-    tubes = np.asarray(tube_patchify(jnp.asarray(video), 16, 2))
-    tubes = (tubes - tubes.mean(-1, keepdims=True)) / np.sqrt(
-        tubes.var(-1, keepdims=True) + 1e-6
-    )
+    tubes = _reference_norm_target(video, 16, 2)
     masked_idx = jnp.asarray([[0, 3, 5], [1, 2, 7]])
     pred = jnp.asarray(
         np.stack([tubes[b][np.asarray(masked_idx)[b]] for b in range(2)])
     )
     out = videomae_loss(pred, jnp.asarray(video), masked_idx, 16, 2)
     assert float(out["loss"]) < 1e-10
+
+
+def test_videomae_normalize_target_matches_torch_reference():
+    """Bit-for-bit vs the reference's einops/torch formulation
+    (main_videomae_pretrain.py:322-328)."""
+    torch = pytest.importorskip("torch")
+    rs = np.random.RandomState(11)
+    video = rs.randn(2, 4, 32, 32, 3).astype(np.float32)
+    p, ts = 16, 2
+    # reference operates on [B, C, T, H, W]
+    v = torch.from_numpy(video.transpose(0, 4, 1, 2, 3))
+    b, c, t, h, w = v.shape
+    sq = (v.reshape(b, c, t // ts, ts, h // p, p, w // p, p)
+          .permute(0, 2, 4, 6, 3, 5, 7, 1)   # b t' h' w' p0 p1 p2 c
+          .reshape(b, -1, ts * p * p, c))
+    norm = (sq - sq.mean(dim=-2, keepdim=True)) / (
+        sq.var(dim=-2, unbiased=True, keepdim=True).sqrt() + 1e-6)
+    ref = norm.reshape(b, norm.shape[1], -1).numpy()
+    ours = _reference_norm_target(video, p, ts)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+    # and videomae_loss consumes exactly this target
+    masked_idx = jnp.asarray([[0, 1], [2, 3]])
+    pred = jnp.asarray(
+        np.stack([ref[i][np.asarray(masked_idx)[i]] for i in range(2)]))
+    out = videomae_loss(pred, jnp.asarray(video), masked_idx, p, ts)
+    assert float(out["loss"]) < 1e-9

@@ -94,3 +94,35 @@ def test_videomae_finetune_shapes():
     params = model.init(rng, video)
     logits = model.apply(params, video)
     assert logits.shape == (2, 10)
+
+
+def test_freeze_temperature_keeps_loaded_value_blocks_grad():
+    """freeze_temperature must preserve a checkpoint-loaded logit_scale
+    (reference freezes via requires_grad_(False), it does not reset)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from avion_tpu.models.clip import CLIP
+
+    model = CLIP(embed_dim=16, image_size=16, patch_size=8, num_frames=2,
+                 vision_width=32, vision_layers=1, vision_heads=2,
+                 context_length=8, vocab_size=64, text_width=32,
+                 text_heads=2, text_layers=1, use_flash=False,
+                 dtype=jnp.float32, freeze_temperature=True)
+    video = jnp.zeros((2, 2, 16, 16, 3))
+    text = jnp.zeros((2, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), video, text)["params"]
+    loaded = 3.21  # pretend this came from a checkpoint
+    params["logit_scale"] = jnp.asarray(loaded)
+
+    out = model.apply({"params": params}, video, text)
+    np.testing.assert_allclose(float(out["logit_scale"]), np.exp(loaded),
+                               rtol=1e-6)
+
+    def loss(p):
+        o = model.apply({"params": p}, video, text)
+        return (o["logit_scale"] * (o["image_embed"] * o["text_embed"]).sum())
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g["logit_scale"])) == 0.0

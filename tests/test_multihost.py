@@ -1,0 +1,229 @@
+"""Multi-host wiring: per-host data sharding (DistributedSampler
+semantics, ``avion/utils/distributed.py:75-97``), two-process
+``jax.distributed`` end-to-end, and SIGTERM preemption checkpointing
+(submitit requeue elasticity, ``run_with_submit_lavila_pretrain.py:
+53-59``)."""
+
+import json
+import os
+import os.path as osp
+import signal
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+
+class _RangeDS:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"x": np.array([i], np.int32)}
+
+
+def _loader(n, bs, world, rank, **kw):
+    from avion_tpu.data.loader import DataLoader
+
+    return DataLoader(_RangeDS(n), bs, num_workers=0, seed=3,
+                      process_index=rank, process_count=world,
+                      shard_across_hosts=True, **kw)
+
+
+def _indices(loader):
+    return [b["x"][:, 0].tolist() for b in loader]
+
+
+def test_host_shards_disjoint_and_complete():
+    per_host = [_indices(_loader(32, 8, 2, r, shuffle=True)) for r in (0, 1)]
+    flat = [sorted(i for b in h for i in b) for h in per_host]
+    assert len(per_host[0]) == len(per_host[1]) == 4  # same #batches
+    assert all(len(b) == 4 for h in per_host for b in h)  # local rows
+    assert not (set(flat[0]) & set(flat[1]))
+    assert sorted(flat[0] + flat[1]) == list(range(32))
+
+
+def test_host_shards_same_permutation():
+    # both hosts must shuffle with the same seed so slices are disjoint
+    a0 = _indices(_loader(16, 4, 2, 0, shuffle=True))
+    a0b = _indices(_loader(16, 4, 2, 0, shuffle=True))
+    assert a0 == a0b
+
+
+def test_uneven_dataset_pads_to_equal_batches():
+    # n=10, world=2, drop_last=False: pad by wrap to 10 -> 5 rows each
+    hosts = [_loader(10, 2, 2, r, shuffle=False, drop_last=False)
+             for r in (0, 1)]
+    assert len(hosts[0]) == len(hosts[1])
+    i0, i1 = _indices(hosts[0]), _indices(hosts[1])
+    assert len(i0) == len(i1) == len(hosts[0])
+    seen = [i for b in i0 + i1 for i in b]
+    assert set(seen) == set(range(10))
+
+
+def test_drop_last_trims_to_multiple_of_world():
+    # n=9, world=2, drop_last=True: trim to 8 -> 4 rows per host
+    i0 = _indices(_loader(9, 4, 2, 0, shuffle=False))
+    i1 = _indices(_loader(9, 4, 2, 1, shuffle=False))
+    assert len(i0) == len(i1) == 2
+    assert sorted(x for b in i0 + i1 for x in b) == list(range(8))
+
+
+def test_single_process_unchanged():
+    i = _indices(_loader(8, 4, 1, 0, shuffle=False))
+    assert i == [[0, 1, 2, 3], [4, 5, 6, 7]]
+
+
+_WORKER = textwrap.dedent("""
+    import json, os, sys
+    rank, port, out = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+
+    import jax
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=2, process_id=rank)
+    assert jax.process_count() == 2
+    import numpy as np
+    from avion_tpu.data.loader import DataLoader
+    from avion_tpu.parallel import make_mesh
+    from avion_tpu.parallel.sharding import make_global_batch
+
+    class DS:
+        def __len__(self): return 16
+        def __getitem__(self, i): return {"x": np.array([i], np.int32)}
+
+    loader = DataLoader(DS(), 8, num_workers=0, shuffle=True, seed=11)
+    assert loader.shard_across_hosts and loader.local_batch == 4
+    mesh = make_mesh(data=4)  # 4 global devices, 2 per process
+    local, gsums = [], []
+    with jax.set_mesh(mesh):
+        for batch in loader:
+            local.append(batch["x"][:, 0].tolist())
+            g = make_global_batch(mesh, batch)
+            # global reduction over the assembled batch: identical on
+            # both hosts iff assembly is consistent
+            s = jax.jit(lambda b: (b["x"].sum(), b["x"].shape[0]))(g)
+            gsums.append([int(s[0]), int(s[1])])
+    json.dump({"local": local, "gsums": gsums}, open(out, "w"))
+""")
+
+
+def test_two_process_jax_distributed(tmp_path):
+    """Real jax.distributed with 2 CPU processes: loader shards are
+    disjoint per host and the assembled global batch is consistent."""
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    env = dict(os.environ)
+    # env cleanup must happen pre-spawn: the axon sitecustomize
+    # registers the TPU plugin at interpreter startup, before worker
+    # code runs
+    for var in ("PALLAS_AXON_POOL_IPS", "TPU_WORKER_HOSTNAMES",
+                "MEGASCALE_COORDINATOR_ADDRESS"):
+        env.pop(var, None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = (osp.dirname(osp.dirname(osp.abspath(__file__)))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    outs = [str(tmp_path / f"out{r}.json") for r in (0, 1)]
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(r), str(port), outs[r]],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for r in (0, 1)]
+    logs = [p.communicate(timeout=150)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-2000:]
+    res = [json.load(open(o)) for o in outs]
+    flat = [sorted(i for b in r["local"] for i in b) for r in res]
+    assert not (set(flat[0]) & set(flat[1]))
+    assert sorted(flat[0] + flat[1]) == list(range(16))
+    # both hosts computed identical global sums over 8-row global batches
+    assert res[0]["gsums"] == res[1]["gsums"]
+    assert all(n == 8 for _, n in res[0]["gsums"])
+    # and the global sum matches the union of both hosts' local rows
+    for b0, b1, (gs, _) in zip(res[0]["local"], res[1]["local"],
+                               res[0]["gsums"]):
+        assert gs == sum(b0) + sum(b1)
+
+
+def test_sigterm_checkpoints_and_stops(tmp_path):
+    """SIGTERM mid-epoch -> loop checkpoints and exits cleanly; a fresh
+    run auto-resumes (train/loop.py preempted() path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from avion_tpu.core.config import TrainConfig
+    from avion_tpu.optim import build_optimizer
+    from avion_tpu.parallel.launch import (_PREEMPTED,
+                                           install_preemption_handler,
+                                           preempted)
+    from avion_tpu.train.loop import setup_run, train_one_epoch
+
+    class DS:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            rs = np.random.RandomState(i)
+            return {"video": rs.rand(2, 16, 16, 3).astype(np.float32),
+                    "text": rs.randint(0, 64, (8,)).astype(np.int32)}
+
+    from avion_tpu.data.loader import DataLoader
+    from avion_tpu.models.clip import CLIP
+    from avion_tpu.train.steps import make_clip_train_step
+
+    model = CLIP(embed_dim=16, image_size=16, patch_size=8, num_frames=2,
+                 vision_width=32, vision_layers=1, vision_heads=2,
+                 context_length=8, vocab_size=64, text_width=32,
+                 text_heads=2, text_layers=1, use_flash=False,
+                 dtype=jnp.float32)
+
+    def init_params():
+        return model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((2, 2, 16, 16, 3)),
+                          jnp.zeros((2, 8), jnp.int32))["params"]
+
+    params = init_params()
+    cfg = TrainConfig()
+    cfg.output_dir = str(tmp_path / "run")
+    cfg.print_freq = 1
+    cfg.mesh.data = 8
+    cfg.optim.epochs = 1
+    tx, _ = build_optimizer(cfg.optim, params, niter_per_ep=8)
+    run = setup_run(cfg, params, tx, make_clip_train_step(model, tx))
+    loader = DataLoader(DS(), 8, num_workers=0, shuffle=False)
+
+    install_preemption_handler()
+    assert not preempted()
+    n_seen = {"n": 0}
+
+    def poke(batch):
+        n_seen["n"] += 1
+        if n_seen["n"] == 3:
+            os.kill(os.getpid(), signal.SIGTERM)
+        return batch
+
+    try:
+        train_one_epoch(run, loader, 0, jax.random.PRNGKey(1),
+                        extra_batch_fn=poke)
+        assert preempted()
+        # well fewer than the 8 batches of the epoch ran
+        assert n_seen["n"] < 8
+        run.ckpt.wait()
+        assert os.listdir(osp.join(cfg.output_dir, "ckpt"))
+        # auto-resume picks the checkpoint back up (fresh params, as
+        # a requeued process would build them)
+        run2 = setup_run(cfg, init_params(), tx,
+                         make_clip_train_step(model, tx))
+        assert int(run2.state.step) >= 1
+    finally:
+        _PREEMPTED["flag"] = False
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
