@@ -19,7 +19,7 @@ import jax
 import jax.ad_checkpoint
 import jax.numpy as jnp
 
-from avion_tpu.ops.attention import attention
+from avion_tpu.ops.attention import attention_packed
 
 
 def quick_gelu(x):
@@ -113,17 +113,20 @@ class SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b, s, _ = x.shape
-        head_dim = self.width // self.heads
-        qkv = nn.Dense(3 * self.width, dtype=self.dtype,
+        w = self.width
+        qkv = nn.Dense(3 * w, dtype=self.dtype,
                        param_dtype=jnp.float32, name="qkv")(x)
-        qkv = qkv.reshape(b, s, 3, self.heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        o = attention(q, k, v, causal=self.causal, use_flash=self.use_flash)
-        # named for selective remat: policy "save_attn" keeps these
-        # activations so backward skips re-running the attention kernel
+        # the fused projection's output lanes are [q_all | k_all | v_all]
+        # (same layout the 5D reshape would give) — contiguous lane
+        # slices, zero transposes on the way into the packed flash kernel
+        o = attention_packed(
+            qkv[..., :w], qkv[..., w : 2 * w], qkv[..., 2 * w :],
+            self.heads, causal=self.causal, use_flash=self.use_flash)
+        # named for selective remat: policy "save_attn" keeps the
+        # attention output (the flash kernel additionally names its own
+        # out/lse residuals inside its fwd rule, so the rematerialized
+        # backward never re-runs the forward kernel)
         o = jax.ad_checkpoint.checkpoint_name(o, "attn_out")
-        o = o.reshape(b, s, self.width)
         return nn.Dense(self.width, dtype=self.dtype,
                         param_dtype=jnp.float32, name="out_proj")(o)
 
@@ -182,7 +185,7 @@ class Transformer(nn.Module):
         if self.remat:
             if self.remat_policy == "save_attn":
                 policy = jax.checkpoint_policies.save_only_these_names(
-                    "attn_out")
+                    "attn_out", "attn_lse")
             elif self.remat_policy == "full":
                 policy = None  # recompute everything in backward
             else:

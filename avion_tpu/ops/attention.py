@@ -12,7 +12,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from avion_tpu.ops.flash_attention import flash_attention
+from avion_tpu.ops.flash_attention import (flash_attention,
+                                            flash_attention_packed)
 
 
 def xla_attention(
@@ -57,3 +58,27 @@ def attention(
     if use_flash and _on_tpu():
         return flash_attention(q, k, v, causal=causal, sm_scale=sm_scale)
     return xla_attention(q, k, v, causal=causal, sm_scale=sm_scale)
+
+
+def attention_packed(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    heads: int,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    use_flash: bool = True,
+) -> jax.Array:
+    """Multi-head attention over packed [B, S, H*D] tensors (contiguous
+    lane slices of a fused qkv projection — zero reshape/transpose on
+    the flash path)."""
+    if use_flash and _on_tpu():
+        return flash_attention_packed(q, k, v, heads, causal=causal,
+                                      sm_scale=sm_scale)
+    b, s, w = q.shape
+    d = w // heads
+    unpack = lambda x: x.reshape(b, s, heads, d)
+    out = xla_attention(unpack(q), unpack(k), unpack(v), causal=causal,
+                        sm_scale=sm_scale)
+    return out.reshape(b, s, w)

@@ -1,30 +1,46 @@
-"""Pallas TPU flash attention (forward + backward).
+"""Pallas TPU flash attention (forward + backward), packed layout.
 
 TPU-native replacement for the reference's CUDA flash-attn dependency
 (FlashMHA consumed at ``avion/models/transformer.py:116-120`` and
 ``avion/models/model_videomae.py:116``).  Design notes:
 
 - Never materializes the S x S attention matrix in HBM.  Each grid
-  program holds the full K/V for one (batch*head) in VMEM — ViT video
-  sequences are ~800 tokens and text is 77, so K/V (S x 64, bf16) is a
-  few hundred KB, far under the ~16MB VMEM budget; scores live only as
-  a [block_q, S] f32 VMEM tile.  This "one-pass row-block" shape beats
-  a literal FlashAttention tiling translation on TPU: one big MXU
-  matmul per q-block instead of a scalar-carried online-softmax loop.
-- f32 softmax and accumulation, bf16 matmul inputs (MXU native).
+  program holds the full K/V for one (batch, head-group) in VMEM — ViT
+  video sequences are ~800 tokens and text is 77, so K/V (S x 128,
+  bf16) is a few hundred KB, far under the ~16MB VMEM budget; scores
+  live only as a [block_q, S] f32 VMEM tile per head.  This "one-pass
+  row-block" shape beats a literal FlashAttention tiling translation on
+  TPU: one big MXU matmul per q-block instead of a scalar-carried
+  online-softmax loop.
+- PACKED layout end to end: the kernels read 128-lane head-group
+  stripes straight out of [B, S, H*D] arrays (index-mapped blocks), so
+  there are NO [B,S,H,D]->[B*H,S,D] fold transposes and no 2x HBM
+  waste from 64-lane minor dims.  With head_dim 64 each program covers
+  two heads.
+- Softmax runs in the log2 domain: sm_scale * log2(e) is folded into
+  the small q tile before the score matmul and probabilities use the
+  VPU-native exp2 (exp lowers to mul+exp2).  Gradient formulas are
+  unchanged: with p = exp2(s2 - lse2), ds2 = p*(dp-delta)*ln2 and
+  dq = ds2 @ k * (sm_scale*log2e) = p*(dp-delta) @ k * sm_scale.
+  lse is stored in log2 units (internal to these kernels only).
+- lse residuals are [B, H, S_pad] f32 (a few MB); inside the forward
+  kernel the per-row logsumexp column is transposed to row layout so
+  no lane-padded [.., 128] broadcast ever reaches HBM.
+- The fwd rule tags its out/lse with ``checkpoint_name`` so the remat
+  policy save_only_these_names("attn_out", "attn_lse") keeps them: the
+  rematerialized backward recomputes q/k/v via the (MXU-cheap) qkv
+  projection but never re-runs the forward kernel.
 - Backward recomputes probabilities from the saved logsumexp, with
-  separate dq and dkv kernels so each output has a single writer
-  (no cross-program accumulation).
+  separate dq and dkv kernels so each output has a single writer (no
+  cross-program accumulation).  delta (= sum(do*out)) is computed
+  in-kernel for dq and once in XLA (row layout) for dkv.
 - Sequence lengths are padded to the q/k block multiple; padded key
-  columns are masked to -inf, padded query rows are sliced off.
+  columns are masked to -inf via a precomputed bias row (one VPU add —
+  cheaper than iota+compare+select in a kernel this VPU-bound), padded
+  query rows are sliced off.
 
 Supports the two patterns the models need: bidirectional (ViT) and
 causal (text transformer, ``avion/models/transformer.py:447-453``).
-
-Measured on TPU v5e at ViT-B video shapes (B=64, S=896, H=12, D=64,
-bf16): fwd 4.5 ms / fwd+bwd 14.1 ms — 4.7x faster than the tiled
-flash-attention shipped in jax.experimental.pallas.ops.tpu
-(21.0 / 70.7 ms), which is tuned for long-sequence LLM shapes.
 """
 
 from __future__ import annotations
@@ -36,28 +52,35 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_MASK_VALUE = -1e30
+LOG2E = 1.4426950408889634
 
 
 def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-# VMEM budget for the [block_q, S_pad] f32 score tile; the rest of the
+# VMEM budget for the [block_q, S_pad] f32 score tiles; the rest of the
 # ~16MB VMEM holds q/k/v blocks and pipeline double-buffers.
-_SCORE_TILE_BYTES = 4 * 1024 * 1024
+_SCORE_TILE_BYTES = 8 * 1024 * 1024
 
 
-def _auto_block_q(s_pad: int) -> int:
+def _auto_block_q(s_pad: int, hpp: int) -> int:
     """Largest q block (multiple of 128, capped at the full padded
-    sequence) whose score tile fits the VMEM budget.  ViT-scale
-    sequences (~800) fit whole — one program per (batch, head), which
-    amortizes program-launch overhead that otherwise dominates at these
-    small head dims."""
-    cap = max(128, (_SCORE_TILE_BYTES // (4 * s_pad)) // 128 * 128)
+    sequence) whose hpp score tiles fit the VMEM budget.  ViT-scale
+    sequences (~800) fit whole — one program per (batch, head-group),
+    which amortizes program-launch overhead."""
+    cap = max(128, (_SCORE_TILE_BYTES // (4 * s_pad * hpp)) // 128 * 128)
     return min(_ceil_to(s_pad, 128), cap)
+
+
+def _heads_per_program(heads: int, d: int) -> int:
+    """Pack heads into 128-lane stripes: hpp*d == 128 when possible."""
+    hpp = max(1, 128 // d)
+    while heads % hpp:
+        hpp -= 1
+    return hpp
 
 
 # ---------------------------------------------------------------------------
@@ -66,106 +89,123 @@ def _auto_block_q(s_pad: int) -> int:
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, sm_scale,
-                causal, seq_len, block_q):
-    # q_ref: [block_q, D]; k_ref/v_ref: [S_pad, D]; bias_ref: [8, S_pad]
-    # (row 0 = 0/-inf padding bias); o_ref: [block_q, D];
-    # lse_ref: [block_q, 128] (lane-padded; col 0 meaningful)
-    # MXU-native path: keep matmul inputs in their (bf16) storage dtype
-    # with f32 accumulation — casting to f32 *before* the dot runs the
-    # MXU at a fraction of peak.  Padding is handled by ONE bias add
-    # (precomputed row) instead of iota+compare+select — the kernel at
-    # these shapes is VPU-bound, so every elementwise pass counts.
-    qi = pl.program_id(1)
-    s = jax.lax.dot_general(
-        q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * sm_scale  # [block_q, S_pad] f32
+                causal, block_q, d, hpp):
+    # q_ref: [block_q, hpp*d]; k_ref/v_ref: [S_pad, hpp*d];
+    # bias_ref: [8, S_pad] (row 0 = 0/-inf key-padding bias);
+    # o_ref: [block_q, hpp*d]; lse_ref: [hpp, block_q] (row layout).
+    # Matmul inputs stay in their (bf16) storage dtype with f32
+    # accumulation — casting to f32 *before* the dot runs the MXU at a
+    # fraction of peak.
+    qi = pl.program_id(2)
     s_pad = k_ref.shape[0]
-    s = s + bias_ref[0:1, :]
-
     if causal:
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, s_pad), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (block_q, s_pad), 0)
-        s = jnp.where(col <= row + qi * block_q, s, DEFAULT_MASK_VALUE)
-
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m).astype(v_ref.dtype)  # exp+cast fuse into one pass
-    l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
-    if lse_ref is not None:
-        lse = m + jnp.log(l)
-        lse_ref[:] = jnp.broadcast_to(lse, lse_ref.shape)
-
-    o = jax.lax.dot_general(
-        p, v_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    # normalize on the [block_q, D] output instead of the [block_q, S]
-    # score tile — one cheap pass instead of a full-matrix division
-    o_ref[:] = (o / l).astype(o_ref.dtype)
+        cmask = col <= row + qi * block_q
+    outs = []
+    for e in range(hpp):
+        sl = slice(e * d, (e + 1) * d)
+        qe = (q_ref[:, sl].astype(jnp.float32) * (sm_scale * LOG2E)).astype(
+            q_ref.dtype)
+        s = jax.lax.dot_general(
+            qe, k_ref[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_q, S_pad] f32, log2-domain scores
+        s = s + bias_ref[0:1, :]
+        if causal:
+            s = jnp.where(cmask, s, DEFAULT_MASK_VALUE)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p32 = jnp.exp2(s - m)
+        l = jnp.sum(p32, axis=-1, keepdims=True)
+        p = p32.astype(v_ref.dtype)
+        if lse_ref is not None:
+            lse = m + jnp.log2(l)  # [block_q, 1], log2 domain
+            lse_ref[e : e + 1, :] = jnp.transpose(lse, (1, 0))
+        o = jax.lax.dot_general(
+            p, v_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # normalize on the [block_q, D] output instead of the
+        # [block_q, S] score tile — one cheap pass
+        outs.append((o / l).astype(o_ref.dtype))
+    o_ref[:] = outs[0] if hpp == 1 else jnp.concatenate(outs, axis=-1)
 
 
 def _fwd_infer_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, **kw):
     _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, None, **kw)
 
 
-def _fwd(q, k, v, sm_scale, causal, block_q, interpret, need_lse=True):
-    bh, s, d = q.shape
+def _key_bias(s: int, s_pad: int):
+    return jnp.broadcast_to(
+        jnp.where(jnp.arange(s_pad) < s, 0.0, DEFAULT_MASK_VALUE
+                  ).astype(jnp.float32)[None, :],
+        (8, s_pad),
+    )
+
+
+def _fwd(q, k, v, heads, sm_scale, causal, block_q, interpret,
+         need_lse=True):
+    """q/k/v: packed [B, S, W].  Returns (out [B, S, W],
+    lse [B, H//hpp, hpp, S_pad_q] | None)."""
+    b, s, w = q.shape
+    d = w // heads
+    hpp = _heads_per_program(heads, d)
+    stripe = hpp * d
     if block_q is None:
-        block_q = _auto_block_q(_ceil_to(s, 128))
+        block_q = _auto_block_q(_ceil_to(s, 128), hpp)
     s_pad_q = _ceil_to(s, block_q)
     s_pad_k = _ceil_to(s, 128)
-    qp = jnp.pad(q, ((0, 0), (0, s_pad_q - s), (0, 0)))
+    # Inference path: q is NOT padded — an out-of-bounds q row reads
+    # undefined values but stays in its own softmax row, and the masked
+    # final-block output write discards it.  The training path pads q so
+    # the saved lse rows stay well-defined for the backward kernels.
+    # k/v MUST be zero-padded either way (a garbage key/value poisons
+    # every query row via max/sum/PV).
     kp = jnp.pad(k, ((0, 0), (0, s_pad_k - s), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, s_pad_k - s), (0, 0)))
-    bias = jnp.broadcast_to(
-        jnp.where(jnp.arange(s_pad_k) < s, 0.0, DEFAULT_MASK_VALUE
-                  ).astype(jnp.float32)[None, :],
-        (8, s_pad_k),
-    )
-    grid = (bh, s_pad_q // block_q)
+    bias = _key_bias(s, s_pad_k)
+    grid = (b, heads // hpp, s_pad_q // block_q)
+
+    kw = dict(sm_scale=sm_scale, causal=causal, block_q=block_q, d=d,
+              hpp=hpp)
+    in_specs = [
+        pl.BlockSpec((None, block_q, stripe), lambda b, h, i: (b, i, h)),
+        pl.BlockSpec((None, s_pad_k, stripe), lambda b, h, i: (b, 0, h)),
+        pl.BlockSpec((None, s_pad_k, stripe), lambda b, h, i: (b, 0, h)),
+        pl.BlockSpec((8, s_pad_k), lambda b, h, i: (0, 0)),
+    ]
+    o_spec = pl.BlockSpec((None, block_q, stripe), lambda b, h, i: (b, i, h))
 
     if not need_lse:
         out = pl.pallas_call(
-            functools.partial(
-                _fwd_infer_kernel, sm_scale=sm_scale, causal=causal,
-                seq_len=s, block_q=block_q,
-            ),
+            functools.partial(_fwd_infer_kernel, **kw),
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
-                pl.BlockSpec((None, s_pad_k, d), lambda b, i: (b, 0, 0)),
-                pl.BlockSpec((None, s_pad_k, d), lambda b, i: (b, 0, 0)),
-                pl.BlockSpec((8, s_pad_k), lambda b, i: (0, 0)),
-            ],
-            out_specs=pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
-            out_shape=jax.ShapeDtypeStruct((bh, s_pad_q, d), q.dtype),
+            in_specs=in_specs,
+            out_specs=o_spec,
+            out_shape=jax.ShapeDtypeStruct((b, s, w), q.dtype),
             interpret=interpret,
-        )(qp, kp, vp, bias)
-        return out[:, :s], None
+        )(q, kp, vp, bias)
+        return out, None
 
     out, lse = pl.pallas_call(
-        functools.partial(
-            _fwd_kernel, sm_scale=sm_scale, causal=causal, seq_len=s,
-            block_q=block_q,
-        ),
+        functools.partial(_fwd_kernel, **kw),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((None, s_pad_k, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((None, s_pad_k, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((8, s_pad_k), lambda b, i: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((None, block_q, 128), lambda b, i: (b, i, 0)),
+            o_spec,
+            pl.BlockSpec((None, None, hpp, block_q),
+                         lambda b, h, i: (b, h, 0, i)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, s_pad_q, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, s_pad_q, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, s_pad_q, w), q.dtype),
+            # 4D so the head-group dim can be a full (non-8-divisible)
+            # block; [B, H, S] would need an 8-sublane block
+            jax.ShapeDtypeStruct((b, heads // hpp, hpp, s_pad_q),
+                                 jnp.float32),
         ],
         interpret=interpret,
-    )(qp, kp, vp, bias)
-    return out[:, :s], lse[:, :s, 0]
+    )(jnp.pad(q, ((0, 0), (0, s_pad_q - s), (0, 0))), kp, vp, bias)
+    return out[:, :s], lse
 
 
 # ---------------------------------------------------------------------------
@@ -173,241 +213,166 @@ def _fwd(q, k, v, sm_scale, causal, block_q, interpret, need_lse=True):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                   bias_ref, dq_ref, *, sm_scale, causal, seq_len, block_q):
-    qi = pl.program_id(1)
-    s = jax.lax.dot_general(
-        q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * sm_scale
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, out_ref, lse_ref, bias_ref,
+                   dq_ref, *, sm_scale, causal, block_q, d, hpp):
+    qi = pl.program_id(2)
     s_pad = k_ref.shape[0]
-    s = s + bias_ref[0:1, :]  # -inf on padded key columns (one VPU add)
     if causal:
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, s_pad), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (block_q, s_pad), 0)
-        s = jnp.where(col <= row + qi * block_q, s, DEFAULT_MASK_VALUE)
-
-    lse = lse_ref[:, 0:1]
-    p = jnp.exp(s - lse)  # [block_q, S_pad]
-    dp = jax.lax.dot_general(
-        do_ref[:], v_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [block_q, S_pad]
-    delta = delta_ref[:, 0:1]
-    ds = (p * (dp - delta)).astype(k_ref.dtype)
-    dq = jax.lax.dot_general(
-        ds, k_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * sm_scale
-    dq_ref[:] = dq.astype(dq_ref.dtype)
+        cmask = col <= row + qi * block_q
+    # lse arrives as rows [hpp, block_q]; one small transpose yields the
+    # per-head columns (no lane-padded HBM broadcast needed)
+    lse_cols = jnp.transpose(lse_ref[:], (1, 0))  # [block_q, hpp]
+    dqs = []
+    for e in range(hpp):
+        sl = slice(e * d, (e + 1) * d)
+        qe = (q_ref[:, sl].astype(jnp.float32) * (sm_scale * LOG2E)).astype(
+            q_ref.dtype)
+        s = jax.lax.dot_general(
+            qe, k_ref[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s + bias_ref[0:1, :]  # -inf on padded key columns
+        if causal:
+            s = jnp.where(cmask, s, DEFAULT_MASK_VALUE)
+        p = jnp.exp2(s - lse_cols[:, e : e + 1])  # [block_q, S_pad]
+        dp = jax.lax.dot_general(
+            do_ref[:, sl], v_ref[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_q, S_pad]
+        # delta computed in-kernel on the tiny [block_q, D] tiles
+        delta = jnp.sum(
+            do_ref[:, sl].astype(jnp.float32)
+            * out_ref[:, sl].astype(jnp.float32),
+            axis=-1, keepdims=True)
+        ds = (p * (dp - delta)).astype(k_ref.dtype)
+        dq = jax.lax.dot_general(
+            ds, k_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        dqs.append(dq.astype(dq_ref.dtype))
+    dq_ref[:] = dqs[0] if hpp == 1 else jnp.concatenate(dqs, axis=-1)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    bias_ref, dk_ref, dv_ref, *, sm_scale, causal, seq_len,
-                    block_k):
-    ki = pl.program_id(1)
-    # scores^T : [block_k, S_pad_q]
-    st = jax.lax.dot_general(
-        k_ref[:], q_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * sm_scale
+                    bias_ref, dk_ref, dv_ref, *, sm_scale, causal, block_k,
+                    d, hpp):
+    ki = pl.program_id(2)
     s_pad_q = q_ref.shape[0]
-    # padded q columns: -inf bias -> exp 0; padded k rows need no mask
-    # because their dk/dv rows are sliced off by the caller
-    st = st + bias_ref[0:1, :]
     if causal:
         qcol = jax.lax.broadcasted_iota(jnp.int32, (block_k, s_pad_q), 1)
         krow = jax.lax.broadcasted_iota(jnp.int32, (block_k, s_pad_q), 0)
-        st = jnp.where(krow + ki * block_k <= qcol, st, DEFAULT_MASK_VALUE)
-    lse = lse_ref[0:1, :]  # [1, S_pad_q] (row layout, no in-kernel transpose)
-    pt = jnp.exp(st - lse)
-    dv = jax.lax.dot_general(
-        pt.astype(do_ref.dtype), do_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dv_ref[:] = dv.astype(dv_ref.dtype)
-    dpt = jax.lax.dot_general(
-        v_ref[:], do_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [block_k, S_pad_q]
-    delta = delta_ref[0:1, :]
-    dst = (pt * (dpt - delta)).astype(q_ref.dtype)
-    dk = jax.lax.dot_general(
-        dst, q_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * sm_scale
-    dk_ref[:] = dk.astype(dk_ref.dtype)
+        cmask = krow + ki * block_k <= qcol
+    dks, dvs = [], []
+    for e in range(hpp):
+        sl = slice(e * d, (e + 1) * d)
+        # scores^T : [block_k, S_pad_q]; scale the small k tile
+        ke = (k_ref[:, sl].astype(jnp.float32) * (sm_scale * LOG2E)).astype(
+            k_ref.dtype)
+        st = jax.lax.dot_general(
+            ke, q_ref[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # padded q columns: -inf bias -> exp2 0; padded k rows need no
+        # mask because their dk/dv rows are sliced off by the caller
+        st = st + bias_ref[0:1, :]
+        if causal:
+            st = jnp.where(cmask, st, DEFAULT_MASK_VALUE)
+        lse = lse_ref[e : e + 1, :]  # [1, S_pad_q] row layout
+        pt = jnp.exp2(st - lse)
+        dv = jax.lax.dot_general(
+            pt.astype(do_ref.dtype), do_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dvs.append(dv.astype(dv_ref.dtype))
+        dpt = jax.lax.dot_general(
+            v_ref[:, sl], do_ref[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_k, S_pad_q]
+        delta = delta_ref[e : e + 1, :]
+        dst = (pt * (dpt - delta)).astype(q_ref.dtype)
+        dk = jax.lax.dot_general(
+            dst, q_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        dks.append(dk.astype(dk_ref.dtype))
+    dk_ref[:] = dks[0] if hpp == 1 else jnp.concatenate(dks, axis=-1)
+    dv_ref[:] = dvs[0] if hpp == 1 else jnp.concatenate(dvs, axis=-1)
 
 
-def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                      bias_ref, dq_ref, dk_ref, dv_ref, *, sm_scale, causal,
-                      seq_len):
-    """Single-program backward when the whole sequence fits one block:
-    computes scores/probabilities ONCE and derives dq, dk, dv together.
-    The transposes the two-kernel split re-derives with extra matmuls
-    become contraction-dimension choices (dot over dim 0), so this
-    saves one S x S matmul and one exp/mask pass over the score tile.
-    lse/delta for padded query rows are +inf / 0 so p's padded rows
-    vanish (they feed the dk/dv contractions over the q dim)."""
-    s_pad = k_ref.shape[0]
-    n_q = q_ref.shape[0]
-    sc = jax.lax.dot_general(
-        q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * sm_scale
-    sc = sc + bias_ref[0:1, :]
-    if causal:
-        col = jax.lax.broadcasted_iota(jnp.int32, (n_q, s_pad), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (n_q, s_pad), 0)
-        sc = jnp.where(col <= row, sc, DEFAULT_MASK_VALUE)
-    lse = lse_ref[:, 0:1]
-    p = jnp.exp(sc - lse)  # [S_q, S_k]; padded q rows -> exp(-inf) = 0
-    dp = jax.lax.dot_general(
-        do_ref[:], v_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    delta = delta_ref[:, 0:1]
-    ds = (p * (dp - delta)).astype(k_ref.dtype)
-    p16 = p.astype(v_ref.dtype)
-    dq = jax.lax.dot_general(
-        ds, k_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * sm_scale
-    dq_ref[:] = dq.astype(dq_ref.dtype)
-    dk = jax.lax.dot_general(
-        ds, q_ref[:], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * sm_scale
-    dk_ref[:] = dk.astype(dk_ref.dtype)
-    dv = jax.lax.dot_general(
-        p16, do_ref[:], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dv_ref[:] = dv.astype(dv_ref.dtype)
-
-
-def _bwd_fused(q, k, v, do, lse, delta, sm_scale, causal, s_pad, interpret):
-    bh, s, d = q.shape
-    pad = s_pad - s
-    qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
-    kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
-    dop = jnp.pad(do, ((0, 0), (0, pad), (0, 0)))
-    # +inf lse on padded rows zeroes their probabilities in-kernel
-    lsep = jnp.pad(lse, ((0, 0), (0, pad)), constant_values=1e30)[..., None]
-    lsep = jnp.broadcast_to(lsep, (bh, s_pad, 128))
-    dlt = jnp.pad(delta, ((0, 0), (0, pad)))[..., None]
-    dlt = jnp.broadcast_to(dlt, (bh, s_pad, 128))
-    bias = jnp.broadcast_to(
-        jnp.where(jnp.arange(s_pad) < s, 0.0, DEFAULT_MASK_VALUE
-                  ).astype(jnp.float32)[None, :], (8, s_pad))
-
-    full = lambda b: (b, 0, 0)
-    spec = pl.BlockSpec((None, s_pad, d), full)
-    col128 = pl.BlockSpec((None, s_pad, 128), full)
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_fused_kernel, sm_scale=sm_scale,
-                          causal=causal, seq_len=s),
-        grid=(bh,),
-        in_specs=[spec, spec, spec, spec, col128, col128,
-                  pl.BlockSpec((8, s_pad), lambda b: (0, 0))],
-        out_specs=[spec, spec, spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, s_pad, d), k.dtype),
-            jax.ShapeDtypeStruct((bh, s_pad, d), v.dtype),
-        ],
-        interpret=interpret,
-    )(qp, kp, vp, dop, lsep, dlt, bias)
-    return dq[:, :s], dk[:, :s], dv[:, :s]
-
-
-def _bwd(sm_scale, causal, block_q, interpret, res, g):
-    q, k, v, out, lse = res
+def _bwd(heads, sm_scale, causal, block_q, interpret, res, g):
+    q, k, v, out, lse = res  # packed [B,S,W]; lse [B,H//hpp,hpp,S_pad_q]
     do = g
-    bh, s, d = q.shape
+    b, s, w = q.shape
+    d = w // heads
+    hpp = _heads_per_program(heads, d)
+    stripe = hpp * d
     if block_q is None:
-        block_q = _auto_block_q(_ceil_to(s, 128))
+        block_q = _auto_block_q(_ceil_to(s, 128), hpp)
     block_k = block_q
     s_pad_q = _ceil_to(s, block_q)
     s_pad_k = _ceil_to(s, block_k)
-    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
-
-    # NOTE: a fused single-program backward (_bwd_fused) was measured
-    # SLOWER than this two-kernel split on v5e (17.3 vs 14.1 ms at ViT-B
-    # shapes): the dim-0 contractions it needs for dk/dv cost more on
-    # the MXU than the one S x S matmul it saves, and its ~10MB working
-    # set hurts pipelining.  Kept (tested) for reference; not dispatched.
+    assert lse.shape == (b, heads // hpp, hpp, s_pad_q), lse.shape
 
     qp = jnp.pad(q, ((0, 0), (0, s_pad_q - s), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, s_pad_k - s), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, s_pad_k - s), (0, 0)))
     dop = jnp.pad(do, ((0, 0), (0, s_pad_q - s), (0, 0)))
-    # lane-pad lse/delta to 128 cols
-    lsep = jnp.pad(lse, ((0, 0), (0, s_pad_q - s)))[..., None]
-    lsep = jnp.broadcast_to(lsep, (bh, s_pad_q, 128))
-    # guard padded-row lse: exp(s - lse) with lse=0 on padded rows is fine
-    # because those rows produce dq rows we slice off, and in the dkv
-    # kernel padded q columns are masked out of pt.
-    dlt = jnp.pad(delta, ((0, 0), (0, s_pad_q - s)))[..., None]
-    dlt = jnp.broadcast_to(dlt, (bh, s_pad_q, 128))
-    # row layouts for the dkv kernel (q positions along lanes)
-    lse_row = jnp.broadcast_to(
-        jnp.pad(lse, ((0, 0), (0, s_pad_q - s)))[:, None, :], (bh, 8, s_pad_q)
-    )
-    dlt_row = jnp.broadcast_to(
-        jnp.pad(delta, ((0, 0), (0, s_pad_q - s)))[:, None, :], (bh, 8, s_pad_q)
-    )
+    outp = jnp.pad(out, ((0, 0), (0, s_pad_q - s), (0, 0)))
+    # delta rows for the dkv kernel: [B, H//hpp, hpp, S_pad_q] f32
+    delta = (do.astype(jnp.float32) * out.astype(jnp.float32)).reshape(
+        b, s, heads, d).sum(axis=-1).transpose(0, 2, 1)
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, s_pad_q - s))).reshape(
+        b, heads // hpp, hpp, s_pad_q)
 
-    def pad_bias(n_pad):
-        return jnp.broadcast_to(
-            jnp.where(jnp.arange(n_pad) < s, 0.0, DEFAULT_MASK_VALUE
-                      ).astype(jnp.float32)[None, :], (8, n_pad))
+    bias_k = _key_bias(s, s_pad_k)  # over key columns (dq kernel)
+    bias_q = _key_bias(s, s_pad_q)  # over query columns (dkv kernel)
 
-    bias_k = pad_bias(s_pad_k)  # over key columns (dq kernel)
-    bias_q = pad_bias(s_pad_q)  # over query columns (dkv kernel)
-
+    kw = dict(sm_scale=sm_scale, causal=causal, d=d, hpp=hpp)
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, causal=causal,
-                          seq_len=s, block_q=block_q),
-        grid=(bh, s_pad_q // block_q),
+        functools.partial(_bwd_dq_kernel, block_q=block_q, **kw),
+        grid=(b, heads // hpp, s_pad_q // block_q),
         in_specs=[
-            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((None, s_pad_k, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((None, s_pad_k, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((None, block_q, 128), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((None, block_q, 128), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((8, s_pad_k), lambda b, i: (0, 0)),
+            pl.BlockSpec((None, block_q, stripe), lambda b, h, i: (b, i, h)),
+            pl.BlockSpec((None, s_pad_k, stripe), lambda b, h, i: (b, 0, h)),
+            pl.BlockSpec((None, s_pad_k, stripe), lambda b, h, i: (b, 0, h)),
+            pl.BlockSpec((None, block_q, stripe), lambda b, h, i: (b, i, h)),
+            pl.BlockSpec((None, block_q, stripe), lambda b, h, i: (b, i, h)),
+            pl.BlockSpec((None, None, hpp, block_q),
+                         lambda b, h, i: (b, h, 0, i)),
+            pl.BlockSpec((8, s_pad_k), lambda b, h, i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, s_pad_q, d), q.dtype),
+        out_specs=pl.BlockSpec((None, block_q, stripe),
+                               lambda b, h, i: (b, i, h)),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad_q, w), q.dtype),
         interpret=interpret,
-    )(qp, kp, vp, dop, lsep, dlt, bias_k)[:, :s]
+    )(qp, kp, vp, dop, outp, lse, bias_k)[:, :s]
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
-                          seq_len=s, block_k=block_k),
-        grid=(bh, s_pad_k // block_k),
+        functools.partial(_bwd_dkv_kernel, block_k=block_k, **kw),
+        grid=(b, heads // hpp, s_pad_k // block_k),
         in_specs=[
-            pl.BlockSpec((None, s_pad_q, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((None, block_k, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((None, block_k, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((None, s_pad_q, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((None, 8, s_pad_q), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((None, 8, s_pad_q), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((8, s_pad_q), lambda b, i: (0, 0)),
+            pl.BlockSpec((None, s_pad_q, stripe), lambda b, h, i: (b, 0, h)),
+            pl.BlockSpec((None, block_k, stripe), lambda b, h, i: (b, i, h)),
+            pl.BlockSpec((None, block_k, stripe), lambda b, h, i: (b, i, h)),
+            pl.BlockSpec((None, s_pad_q, stripe), lambda b, h, i: (b, 0, h)),
+            pl.BlockSpec((None, None, hpp, s_pad_q),
+                         lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, hpp, s_pad_q),
+                         lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((8, s_pad_q), lambda b, h, i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((None, block_k, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((None, block_k, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, block_k, stripe), lambda b, h, i: (b, i, h)),
+            pl.BlockSpec((None, block_k, stripe), lambda b, h, i: (b, i, h)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, s_pad_k, d), k.dtype),
-            jax.ShapeDtypeStruct((bh, s_pad_k, d), v.dtype),
+            jax.ShapeDtypeStruct((b, s_pad_k, w), k.dtype),
+            jax.ShapeDtypeStruct((b, s_pad_k, w), v.dtype),
         ],
         interpret=interpret,
-    )(qp, kp, vp, dop, lse_row, dlt_row, bias_q)
+    )(qp, kp, vp, dop, lse, delta, bias_q)
     return dq, dk[:, :s], dv[:, :s]
 
 
@@ -416,24 +381,34 @@ def _bwd(sm_scale, causal, block_q, interpret, res, g):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash_bhsd(q, k, v, sm_scale, causal, block_q, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_packed(q, k, v, heads, sm_scale, causal, block_q, interpret):
     # primal-only (inference) path: no lse output/write
-    out, _ = _fwd(q, k, v, sm_scale, causal, block_q, interpret,
+    out, _ = _fwd(q, k, v, heads, sm_scale, causal, block_q, interpret,
                   need_lse=False)
     return out
 
 
-def _flash_fwd_rule(q, k, v, sm_scale, causal, block_q, interpret):
-    out, lse = _fwd(q, k, v, sm_scale, causal, block_q, interpret)
+def _flash_fwd_rule(q, k, v, heads, sm_scale, causal, block_q, interpret):
+    from jax.ad_checkpoint import checkpoint_name
+
+    out, lse = _fwd(q, k, v, heads, sm_scale, causal, block_q, interpret)
+    # Name the kernel outputs so a remat policy can SAVE them: with
+    # save_only_these_names("attn_out", "attn_lse") the rematerialized
+    # backward recomputes q/k/v via the (MXU-cheap) qkv projection but
+    # never re-runs this forward kernel — the policy cuts the recompute
+    # graph at these values.  Both are compact: out is the packed
+    # [B, S, W] activation, lse is [B, H, S_pad] f32.
+    out = checkpoint_name(out, "attn_out")
+    lse = checkpoint_name(lse, "attn_lse")
     return out, (q, k, v, out, lse)
 
 
-def _flash_bwd_rule(sm_scale, causal, block_q, interpret, res, g):
-    return _bwd(sm_scale, causal, block_q, interpret, res, g)
+def _flash_bwd_rule(heads, sm_scale, causal, block_q, interpret, res, g):
+    return _bwd(heads, sm_scale, causal, block_q, interpret, res, g)
 
 
-_flash_bhsd.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+_flash_packed.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
 def flash_attention(
@@ -453,10 +428,28 @@ def flash_attention(
     b, s, h, d = q.shape
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
-    # fold batch/head; kernels operate on [B*H, S, D]
-    def fold(x):
-        return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    pack = lambda x: x.reshape(b, s, h * d)  # bitcast, no data movement
+    out = _flash_packed(pack(q), pack(k), pack(v), h, sm_scale, causal,
+                        block_q, interpret)
+    return out.reshape(b, s, h, d)
 
-    out = _flash_bhsd(fold(q), fold(k), fold(v), sm_scale, causal, block_q,
-                      interpret)
-    return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+
+def flash_attention_packed(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    heads: int,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    block_q: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention over packed [B, S, H*D] tensors — the layout the
+    fused qkv projection produces (q/k/v are contiguous lane slices of
+    its [B, S, 3*H*D] output), so no reshape/transpose ever touches the
+    data.  Returns [B, S, H*D]."""
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1] // heads)
+    return _flash_packed(q, k, v, heads, sm_scale, causal, block_q,
+                         interpret)

@@ -1,0 +1,188 @@
+"""End-to-end input-pipeline + train-step benchmark (duty cycle).
+
+Measures the WHOLE training path together — native fused decode in
+worker processes -> DataLoader -> device_prefetch -> jitted CLIP train
+step — and reports the TPU duty cycle (model_time / batch_time), the
+starvation detector the reference reads off its data_time/batch_time
+meters (``scripts/main_lavila_pretrain.py:767-797``).  The BASELINE
+target is >95% duty cycle on a TPU-VM host.
+
+Because decode is host-CPU-bound, the tool also reports the measured
+per-core decode rate and PROJECTS the duty cycle for a given host core
+count (``--host-cores``; Cloud TPU v5e-8 VMs have 112+ vCPUs, the
+reference's hosts had 96 threads, ``docs/INSTALL.md:11``) so a
+single-core CI container still produces the analysis.
+
+Usage::
+
+    python -m avion_tpu.tools.bench_pipeline [--model CLIP_VITB16]
+        [--batch 64] [--steps 10] [--videos 8] [--workers N]
+        [--host-cores 112]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import os.path as osp
+import pickle
+import tempfile
+import time
+
+import numpy as np
+
+
+def make_chunked_dataset(root: str, n_videos: int = 8, chunk_len: int = 15,
+                         fps: int = 30, w: int = 456, h: int = 256,
+                         n_chunks: int = 2):
+    """Synthetic ego4d-style chunked videos (moving pattern — encodes at
+    realistic bitrates, unlike noise) + metadata pkl."""
+    import cv2
+
+    rs = np.random.RandomState(0)
+    samples = []
+    for v in range(n_videos):
+        vid = f"vid{v}"
+        d = osp.join(root, f"{vid}.mp4")
+        os.makedirs(d, exist_ok=True)
+        base = rs.randint(0, 255, (h, w, 3), np.uint8)
+        base = np.asarray(base, np.uint8)
+        import cv2 as _cv2
+        base = _cv2.GaussianBlur(base, (21, 21), 0)
+        for c in range(n_chunks):
+            path = osp.join(d, f"{c * chunk_len}.mp4")
+            if osp.exists(path):
+                continue
+            vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                 fps, (w, h))
+            for i in range(chunk_len * fps):
+                vw.write(np.roll(base, (c * 450 + i) * 2, axis=1))
+            vw.release()
+        # several samples per video, different windows
+        for st in np.linspace(0.5, n_chunks * chunk_len - 3.0, 8):
+            samples.append((vid, float(st), float(st + 2.0),
+                            f"moves object {v}"))
+    meta = osp.join(root, "meta.pkl")
+    with open(meta, "wb") as f:
+        pickle.dump(samples, f)
+    return meta
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="CLIP_VITB16")
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--videos", type=int, default=8)
+    p.add_argument("--workers", type=int, default=max(1, os.cpu_count() - 1))
+    p.add_argument("--clip-length", type=int, default=4)
+    p.add_argument("--crop-size", type=int, default=224)
+    p.add_argument("--host-cores", type=int, default=112,
+                   help="core count for the projected duty cycle")
+    p.add_argument("--root", default=None,
+                   help="reuse an existing synthetic dataset dir")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from avion_tpu.core.config import OptimConfig
+    from avion_tpu.core.meters import StepTimer
+    from avion_tpu.core.train_state import TrainState
+    from avion_tpu.data.datasets import AugmentSpec, VideoCaptionDataset
+    from avion_tpu.data.loader import DataLoader, device_prefetch
+    from avion_tpu.models import create_model
+    from avion_tpu.optim import build_optimizer
+    from avion_tpu.parallel import make_mesh
+    from avion_tpu.train.steps import make_clip_train_step
+
+    root = args.root or osp.join(tempfile.gettempdir(), "avion_bench_pipe")
+    os.makedirs(root, exist_ok=True)
+    t0 = time.perf_counter()
+    meta = make_chunked_dataset(root, n_videos=args.videos)
+    print(f"[setup] dataset ready in {time.perf_counter() - t0:.1f}s")
+
+    ds = VideoCaptionDataset(
+        "ego4d", root, meta, is_training=True,
+        clip_length=args.clip_length, chunk_len=15, fps=30, threads=1,
+        augment=AugmentSpec(crop_size=args.crop_size, mode="rrc"),
+    )
+    # measure raw single-core decode rate first (host-side bound)
+    t0 = time.perf_counter()
+    n_probe = 8
+    for i in range(n_probe):
+        ds[i % len(ds)]
+    dt_probe = (time.perf_counter() - t0) / n_probe
+    decode_cps_core = 1.0 / dt_probe
+    print(f"[probe] fused decode: {decode_cps_core:.1f} clips/s/core "
+          f"({decode_cps_core * args.clip_length:.0f} frames/s/core)")
+
+    mesh = make_mesh()
+    model = create_model(args.model, num_frames=args.clip_length,
+                         use_grad_checkpointing=True, use_flash_attn=True)
+    rng = jax.random.PRNGKey(0)
+    video0 = jnp.zeros((2, args.clip_length, args.crop_size, args.crop_size,
+                        3), jnp.bfloat16)
+    text0 = jnp.zeros((2, 77), jnp.int32)
+    params = jax.jit(model.init)(rng, video0, text0)["params"]
+    cfg = OptimConfig(optimizer="adamw", lr=4e-5, warmup_epochs=0, epochs=1,
+                      grad_clip_norm=1.0)
+    tx, _ = build_optimizer(cfg, params, niter_per_ep=100)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_clip_train_step(model, tx, crop_size=args.crop_size),
+                   donate_argnums=(0,))
+
+    loader = DataLoader(ds, args.batch, shuffle=True, drop_last=True,
+                        num_workers=args.workers, prefetch_depth=4,
+                        infinite=True)
+    it = device_prefetch(iter(loader), mesh, depth=2)
+
+    # warmup: compile + fill prefetch queues
+    with jax.set_mesh(mesh):
+        for _ in range(2):
+            state, m = step(state, next(it), rng)
+        float(m["loss"])
+
+        timer = StepTimer()
+        n = 0
+        t_start = time.perf_counter()
+        while n < args.steps:
+            t_fetch = time.perf_counter()
+            batch = next(it)
+            timer.data_time.update(time.perf_counter() - t_fetch)
+            state, m = step(state, batch, rng)
+            n += 1
+            if n % 5 == 0 or n == args.steps:
+                float(m["loss"])  # force the chain to the device
+                timer.mark_window(min(n, 5))
+        loss = float(m["loss"])
+        wall = time.perf_counter() - t_start
+    loader.close()
+
+    stats = timer.stats()
+    clips_per_sec = args.batch * args.steps / wall
+    # projection: with C cores decoding, host supply = C * per-core rate;
+    # duty cycle ~= min(1, supply / step-rate-demand)
+    demand = args.batch / max(stats.get("step_time", 1e-9), 1e-9)
+    supply = args.host_cores * decode_cps_core
+    projected = min(1.0, supply / max(demand, 1e-9))
+    result = {
+        "metric": "pipeline_clips_per_sec_e2e",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s/chip",
+        "duty_cycle": round(stats.get("duty_cycle", 0.0), 4),
+        "data_time_s": round(stats.get("data_time", 0.0), 4),
+        "step_time_s": round(stats.get("step_time", 0.0), 4),
+        "decode_clips_per_sec_per_core": round(decode_cps_core, 2),
+        "host_cores": os.cpu_count(),
+        "projected_duty_cycle_at_cores": {
+            str(args.host_cores): round(projected, 4)},
+        "loss": round(loss, 4),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,16 +1,20 @@
 #!/usr/bin/env python
 """Benchmark: CLIP ViT-B/16 contrastive pretrain step throughput on TPU.
 
-Matches the reference headline config: 4-frame clips, 224px (batch 192
-is the largest that fits v5e HBM with selective remat; the reference
-uses 256/GPU on 24GB A5000s)
-(scripts/main_lavila_pretrain.py:78 --clip-length default 4, batch 256/GPU).
+Matches the reference headline config: 4-frame clips, 224px
+(scripts/main_lavila_pretrain.py:78 --clip-length default 4, batch
+256/GPU on 24GB A5000s; batch 224 is the largest that fits v5e HBM
+with selective remat + saved attention residuals).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"mfu", "step_ms"}.
 
 Baseline derivation: the reference trains Ego4D ViT-B for 5 epochs over
 4.0M clips in ~130 GPU-hours on 8x A5000 (docs/MODEL_ZOO.md:52,
 README.md:20-24) => 20M clips / 468,000 GPU-s = 42.7 clips/s/GPU.
+
+MFU: model FLOPs (3x forward matmul FLOPs, remat recompute excluded by
+convention) / v5e bf16 peak (197 TFLOP/s).
 """
 
 import json
@@ -22,6 +26,17 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_CLIPS_PER_SEC_PER_GPU = 42.7
+V5E_PEAK_FLOPS = 197e12
+
+
+def model_fwd_flops(clip_len=4, image=224, patch=16, vw=768, vl=12,
+                    tw=512, tl=12, ctx=77):
+    """Analytic forward matmul FLOPs per clip for CLIP ViT-B/16."""
+    s = clip_len * (image // patch) ** 2 + 1
+    patchify = 2 * (s - 1) * (patch * patch * 3) * vw
+    vis_block = 2 * s * vw * vw * 12 + 4 * s * s * vw
+    txt_block = 2 * ctx * tw * tw * 12 + 4 * ctx * ctx * tw
+    return patchify + vl * vis_block + tl * txt_block
 
 
 def build(batch):
@@ -66,13 +81,67 @@ def bench_batch(batch, warmup=3, iters=20):
         state, metrics = step(state, data, rng)
     float(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
-    return batch / dt
+    return batch / dt, dt
+
+
+def selfcheck():
+    """On-TPU kernel numerics: flash attention (fwd + grads) vs the XLA
+    reference at model shapes — closes the gap left by interpret-mode
+    CPU tests (kernel behavior can differ on real Mosaic lowering)."""
+    import numpy as np
+
+    from avion_tpu.ops.attention import xla_attention
+    from avion_tpu.ops.flash_attention import flash_attention
+
+    # Production dtype is bf16; on real TPUs the MXU multiplies in bf16
+    # at DEFAULT precision, so the comparison floor is bf16 rounding
+    # (~4e-3 on O(1) values) regardless of kernel correctness.  Compare
+    # bf16 kernels against an f32 XLA reference at bf16 tolerances.
+    rng = jax.random.PRNGKey(7)
+    ks = jax.random.split(rng, 3)
+    for (b, s, h, d, causal) in ((4, 785, 12, 64, False),
+                                 (8, 77, 8, 64, True)):
+        q = jax.random.normal(ks[0], (b, s, h, d), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (b, s, h, d), jnp.bfloat16)
+        v = jax.random.normal(ks[2], (b, s, h, d), jnp.bfloat16)
+        qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
+
+        def loss_f(q, k, v):
+            o = flash_attention(q, k, v, causal=causal)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        def loss_r(q, k, v):
+            o = xla_attention(q, k, v, causal=causal)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        out = jax.jit(lambda q, k, v: flash_attention(q, k, v,
+                                                      causal=causal))(q, k, v)
+        ref = jax.jit(lambda q, k, v: xla_attention(q, k, v,
+                                                    causal=causal))(qf, kf, vf)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref), atol=3e-2, rtol=3e-2)
+        g1 = jax.jit(jax.grad(loss_f, argnums=(0, 1, 2)))(q, k, v)
+        g2 = jax.jit(jax.grad(loss_r, argnums=(0, 1, 2)))(qf, kf, vf)
+        for a, bb in zip(g1, g2):
+            a = np.asarray(a, np.float32)
+            bb = np.asarray(bb)
+            # grads accumulate S-length sums; compare with a scale-aware
+            # tolerance
+            tol = 3e-2 * max(1.0, float(np.abs(bb).max()))
+            assert np.abs(a - bb).max() < tol, (
+                f"grad mismatch {np.abs(a - bb).max()} vs tol {tol}")
+        print(f"selfcheck ok: b={b} s={s} h={h} causal={causal}",
+              file=sys.stderr)
 
 
 def main():
-    for batch in (192, 128, 64, 32):
+    if "--selfcheck" in sys.argv:
+        selfcheck()
+        sys.argv.remove("--selfcheck")
+    for batch in (224, 192, 128, 64, 32):
         try:
-            clips_per_sec = bench_batch(batch)
+            clips_per_sec, dt = bench_batch(batch)
+            mfu = clips_per_sec * 3 * model_fwd_flops() / V5E_PEAK_FLOPS
             result = {
                 "metric": f"clips_per_sec_per_chip_vitb16_pretrain_b{batch}",
                 "value": round(clips_per_sec, 2),
@@ -80,6 +149,8 @@ def main():
                 "vs_baseline": round(
                     clips_per_sec / BASELINE_CLIPS_PER_SEC_PER_GPU, 3
                 ),
+                "mfu": round(mfu, 4),
+                "step_ms": round(dt * 1e3, 1),
             }
             print(json.dumps(result))
             return

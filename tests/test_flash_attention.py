@@ -81,29 +81,24 @@ def test_grads_multiblock_path(rng, causal):
         )
 
 
-def test_fused_bwd_matches_twokernel(rng):
-    """_bwd_fused (kept for reference; not dispatched) agrees with the
-    production two-kernel backward."""
-    # the package re-exports the function under the same name, shadowing
-    # the submodule on attribute import — resolve the module explicitly
-    import importlib
+def test_heads_per_program_packing():
+    """Head-group striping: hpp*d should hit 128 lanes when possible and
+    always divide the head count."""
+    from avion_tpu.ops.flash_attention import _heads_per_program
 
-    fa = importlib.import_module("avion_tpu.ops.flash_attention")
+    assert _heads_per_program(12, 64) == 2   # ViT-B
+    assert _heads_per_program(16, 64) == 2   # ViT-L
+    assert _heads_per_program(8, 64) == 2    # text tower
+    assert _heads_per_program(3, 64) == 1    # odd head count
+    assert _heads_per_program(2, 32) == 2    # tiny models (d=32)
+    assert _heads_per_program(1, 128) == 1
 
-    q, k, v = _mk(rng, b=1, s=150, h=2, d=64)
-    sm = 0.125
-    out, lse = fa._fwd(
-        q.transpose(0, 2, 1, 3).reshape(2, 150, 64),
-        k.transpose(0, 2, 1, 3).reshape(2, 150, 64),
-        v.transpose(0, 2, 1, 3).reshape(2, 150, 64),
-        sm, False, None, True)
-    do = jnp.ones_like(out)
-    delta = jnp.sum(do * out, axis=-1)
-    qf = q.transpose(0, 2, 1, 3).reshape(2, 150, 64)
-    kf = k.transpose(0, 2, 1, 3).reshape(2, 150, 64)
-    vf = v.transpose(0, 2, 1, 3).reshape(2, 150, 64)
-    ref = fa._bwd(sm, False, 128, True, (qf, kf, vf, out, lse), do)
-    fused = fa._bwd_fused(qf, kf, vf, do, lse, delta, sm, False, 256, True)
-    for a, b, name in zip(fused, ref, ("dq", "dk", "dv")):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=2e-4, rtol=2e-4, err_msg=name)
+
+def test_odd_heads_and_small_head_dim(rng):
+    """Exercise the hpp=1 (odd heads) and d=32 stripe paths."""
+    for h, d in ((3, 64), (2, 32)):
+        q, k, v = _mk(rng, b=2, s=130, h=h, d=d)
+        ref = xla_attention(q, k, v)
+        out = flash_attention(q, k, v, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
