@@ -163,3 +163,58 @@ def run_validation(model, params, data_cfg, env=None,
                    strict: bool = False) -> Dict[str, float]:
     enc = CLIPEncoders.cached(model, params, batch=data_cfg.val_batch_size)
     return validate_all(enc, build_suites(enc, data_cfg, env), strict=strict)
+
+
+def main(argv=None):
+    """Standalone zero-shot evaluation CLI (the reference's
+    ``--evaluate`` path, ``main_lavila_pretrain.py:664-669``)::
+
+        python -m avion_tpu.eval.validate model.name=CLIP_VITB16 \\
+            pretrain_model=checkpoints/avion_pretrain_lavila_vitb_best.pt
+
+    Suites activate from configured paths / env vars; failures raise
+    (strict mode) so a misconfigured suite is loud.
+    """
+    import json
+    import sys
+
+    import jax
+
+    from avion_tpu.core.config import TrainConfig, load_dotenv
+    from avion_tpu.models import create_model
+    from avion_tpu.parallel.launch import setup_host
+
+    load_dotenv()
+    argv = argv if argv is not None else sys.argv[1:]
+    cfg = TrainConfig().apply_overrides(argv)
+    setup_host(cfg.seed)
+
+    m = cfg.model
+    model = create_model(
+        m.name, num_frames=cfg.data.clip_length,
+        project_embed_dim=m.project_embed_dim,
+        use_quick_gelu=m.use_quick_gelu, use_flash_attn=m.use_flash_attn,
+        pooling=m.pooling, temperature_init=m.temperature_init,
+    )
+    if not cfg.pretrain_model:
+        raise SystemExit("pretrain_model=<ckpt.pt|orbax_dir> is required")
+    import jax.numpy as jnp
+
+    video = jnp.zeros((2, cfg.data.clip_length, model.image_size,
+                       model.image_size, 3), jnp.bfloat16)
+    text = jnp.zeros((2, model.context_length), jnp.int32)
+    template = jax.jit(model.init)(jax.random.PRNGKey(0), video,
+                                   text)["params"]
+    from avion_tpu.train.common import load_pretrained_params
+
+    params = load_pretrained_params(
+        cfg.pretrain_model, template, num_frames=cfg.data.clip_length,
+        context_length=model.context_length, vocab_size=model.vocab_size)
+
+    results = run_validation(model, params, cfg.data, strict=True)
+    print(json.dumps(results, indent=2, sort_keys=True))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -75,9 +75,11 @@ class VisionTransformer(nn.Module):
         )
         x = x + pos[1:].astype(self.dtype)[None, None]
         if t > 1 or self.num_frames > 1:
+            # zero-init like the reference (transformer.py:237): image
+            # checkpoints (no temporal table) then load with exactly
+            # their 2D behavior at every frame position
             tpos = self.param(
-                "temporal_embedding",
-                nn.initializers.normal(self.width ** -0.5),
+                "temporal_embedding", nn.initializers.zeros,
                 (self.num_frames, self.width), jnp.float32,
             )
             x = x + tpos[:t].astype(self.dtype)[None, :, None]
