@@ -52,14 +52,17 @@ class MeshConfig:
 
     data: int = -1  # -1: use all remaining devices
     fsdp: int = 1
+    sp: int = 1  # sequence parallelism (ring attention over tokens)
     tensor: int = 1
 
     def axis_sizes(self, n_devices: int) -> Tuple[int, int, int]:
         d, f, t = self.data, self.fsdp, self.tensor
         if d == -1:
-            assert n_devices % (f * t) == 0, (n_devices, f, t)
-            d = n_devices // (f * t)
-        assert d * f * t == n_devices, f"mesh {d}x{f}x{t} != {n_devices} devices"
+            assert n_devices % (f * self.sp * t) == 0, (n_devices, f,
+                                                        self.sp, t)
+            d = n_devices // (f * self.sp * t)
+        assert d * f * self.sp * t == n_devices, \
+            f"mesh {d}x{f}x{self.sp}x{t} != {n_devices} devices"
         return d, f, t
 
 
@@ -86,6 +89,9 @@ class ModelConfig:
     use_grad_checkpointing: bool = False
     # remat policy: save_attn | full (see models/layers.Transformer)
     remat_policy: str = "save_attn"
+    # ring attention over the mesh "sp" axis (long-clip training);
+    # requires pooling=gap and mesh.sp > 1
+    sequence_parallel: bool = False
     use_fast_conv1: bool = True
     use_flash_attn: bool = True
     use_quick_gelu: bool = True  # reference silently drops this; we honor it

@@ -44,6 +44,7 @@ class CLIP(nn.Module):
     patch_dropout_rate: float = 0.0
     remat: bool = False
     remat_policy: str = "save_attn"
+    sequence_parallel: bool = False  # ring attention in the visual tower
     freeze_temperature: bool = False
     temperature_init: float = 0.07
     dtype: Any = jnp.bfloat16
@@ -58,6 +59,7 @@ class CLIP(nn.Module):
             use_flash=self.use_flash, pooling=self.pooling,
             patch_dropout_rate=self.patch_dropout_rate, remat=self.remat,
             remat_policy=self.remat_policy,
+            sequence_parallel=self.sequence_parallel,
         )
         self.textual = TextTransformer(
             context_length=self.context_length, vocab_size=self.vocab_size,

@@ -110,12 +110,30 @@ class SelfAttention(nn.Module):
     dtype: Any = jnp.bfloat16
     use_flash: bool = True
     causal: bool = False
+    sequence_parallel: bool = False  # ring attention over the sp axis
 
     @nn.compact
     def __call__(self, x):
         w = self.width
         qkv = nn.Dense(3 * w, dtype=self.dtype,
                        param_dtype=jnp.float32, name="qkv")(x)
+        if self.sequence_parallel:
+            # ring attention: tokens sharded over the "sp" mesh axis,
+            # K/V blocks rotate on ICI (beyond-parity long-clip path)
+            assert not self.causal, "ring attention path is bidirectional"
+            from avion_tpu.ops.ring_attention import (
+                sequence_parallel_attention)
+
+            b, s, _ = x.shape
+            d = w // self.heads
+            unpack = lambda t: t.reshape(b, s, self.heads, d)
+            o = sequence_parallel_attention(
+                unpack(qkv[..., :w]), unpack(qkv[..., w : 2 * w]),
+                unpack(qkv[..., 2 * w :]))
+            o = o.reshape(b, s, w)
+            o = jax.ad_checkpoint.checkpoint_name(o, "attn_out")
+            return nn.Dense(self.width, dtype=self.dtype,
+                            param_dtype=jnp.float32, name="out_proj")(o)
         # the fused projection's output lanes are [q_all | k_all | v_all]
         # (same layout the 5D reshape would give) — contiguous lane
         # slices, zero transposes on the way into the packed flash kernel
@@ -143,12 +161,14 @@ class Block(nn.Module):
     causal: bool = False
     ls_init_value: Optional[float] = None
     drop_path: float = 0.0
+    sequence_parallel: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         y = LayerNorm(dtype=self.dtype, name="ln_1")(x)
         y = SelfAttention(self.width, self.heads, self.dtype,
-                          self.use_flash, self.causal, name="attn")(y)
+                          self.use_flash, self.causal,
+                          self.sequence_parallel, name="attn")(y)
         if self.ls_init_value is not None:
             y = LayerScale(self.ls_init_value, name="ls_1")(y)
         y = DropPath(self.drop_path, name="dp_1")(y, deterministic)
@@ -178,6 +198,7 @@ class Transformer(nn.Module):
     drop_path_rate: float = 0.0
     remat: bool = False
     remat_policy: str = "save_attn"  # full | save_attn
+    sequence_parallel: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -198,6 +219,7 @@ class Transformer(nn.Module):
             blk = block_cls(
                 self.width, self.heads, self.mlp_ratio, self.act, self.dtype,
                 self.use_flash, self.causal, self.ls_init_value, dp,
+                self.sequence_parallel,
                 name=f"resblocks_{i}",
             )
             x = blk(x, deterministic) if not self.remat else blk(x, deterministic)

@@ -49,6 +49,7 @@ def _clip_factory(
         use_flash_attn: bool = True,
         use_grad_checkpointing: bool = False,
         remat_policy: str = "save_attn",
+        sequence_parallel: bool = False,
         patch_dropout: float = 0.0,
         pooling: str = "cls",
         freeze_temperature: bool = False,
@@ -77,6 +78,7 @@ def _clip_factory(
             patch_dropout_rate=patch_dropout,
             remat=use_grad_checkpointing,
             remat_policy=remat_policy,
+            sequence_parallel=sequence_parallel,
             freeze_temperature=freeze_temperature,
             temperature_init=temperature_init,
             dtype=dtype if dtype is not None else jnp.bfloat16,
@@ -236,4 +238,41 @@ def _videomae_vitb16_ft(
         drop_path_rate=drop_path_rate,
         fc_drop_rate=fc_drop_rate,
         dtype=dtype if dtype is not None else jnp.bfloat16,
+    )
+
+
+@register_model("VCLM_OPENAI_TIMESFORMER_LARGE_336PX_GPT2_XL")
+def _lavila_narrator_xl(num_frames: int = 4, gated_xattn: bool = True,
+                        dtype=None, **_unused):
+    """The released LaViLa narrator (``lavilla_narrator/main.py:57``):
+    TimeSformer-L @ 336px + gated GPT-2 XL, cross-attn every 3 layers.
+    Import weights with ``models/lavila_import.import_lavila_narrator_pt``."""
+    import jax.numpy as jnp
+
+    from avion_tpu.models.lavila import LavilaNarrator
+
+    return LavilaNarrator(
+        image_size=336, patch_size=14, num_frames=num_frames,
+        vision_width=1024, vision_layers=24, vision_heads=16,
+        vocab_size=50257, text_width=1600, text_layers=48, text_heads=25,
+        cross_freq=3, gated_xattn=gated_xattn,
+        dtype=dtype if dtype is not None else jnp.bfloat16,
+    )
+
+
+@register_model("LAVILA_NARRATOR_TINY")
+def _lavila_narrator_tiny(num_frames: int = 2, gated_xattn: bool = True,
+                          dtype=None, **_unused):
+    """Miniature narrator for tests/CI (not in the reference)."""
+    import jax.numpy as jnp
+
+    from avion_tpu.models.lavila import LavilaNarrator
+
+    return LavilaNarrator(
+        image_size=32, patch_size=16, num_frames=num_frames,
+        vision_width=48, vision_layers=2, vision_heads=2,
+        vocab_size=96, text_width=32, text_layers=3, text_heads=2,
+        cross_freq=3, gated_xattn=gated_xattn, num_img_queries=8,
+        pool_heads=2, pool_dim_head=16,
+        dtype=dtype if dtype is not None else jnp.float32,
     )

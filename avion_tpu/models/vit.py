@@ -50,6 +50,10 @@ class VisionTransformer(nn.Module):
     drop_path_rate: float = 0.0
     remat: bool = False
     remat_policy: str = "save_attn"
+    # ring attention over the "sp" mesh axis (long-clip path).  Requires
+    # pooling in {"gap", "none"} — the CLS token would break the even
+    # token split — and no patch dropout.
+    sequence_parallel: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -85,14 +89,20 @@ class VisionTransformer(nn.Module):
             x = x + tpos[:t].astype(self.dtype)[None, :, None]
         x = x.reshape(b, t * n, self.width)
 
-        cls = self.param(
-            "class_embedding", nn.initializers.normal(self.width ** -0.5),
-            (self.width,), jnp.float32,
-        )
-        cls_tok = (cls + pos[0]).astype(self.dtype)
-        x = jnp.concatenate(
-            [jnp.broadcast_to(cls_tok, (b, 1, self.width)), x], axis=1
-        )
+        if self.sequence_parallel:
+            assert self.pooling in ("gap", "none"), (
+                "sequence_parallel needs gap/none pooling (no CLS token)")
+            assert self.patch_dropout_rate == 0.0, (
+                "sequence_parallel is incompatible with patch dropout")
+        else:
+            cls = self.param(
+                "class_embedding", nn.initializers.normal(self.width ** -0.5),
+                (self.width,), jnp.float32,
+            )
+            cls_tok = (cls + pos[0]).astype(self.dtype)
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls_tok, (b, 1, self.width)), x], axis=1
+            )
 
         if self.patch_dropout_rate > 0.0 and not deterministic:
             x = patch_dropout(
@@ -104,6 +114,7 @@ class VisionTransformer(nn.Module):
             self.width, self.layers, self.heads, self.mlp_ratio, self.act,
             self.dtype, self.use_flash, False, self.ls_init_value,
             self.drop_path_rate, self.remat, self.remat_policy,
+            self.sequence_parallel,
             name="transformer",
         )(x, deterministic)
 

@@ -80,16 +80,34 @@ def ring_attention(
     return out.astype(q.dtype)
 
 
-def sequence_parallel_attention(q, k, v, mesh, axis_name: str = "sp",
-                                sm_scale=None):
-    """Convenience wrapper: shard_map over the token dim of BSHD inputs."""
+def sequence_parallel_attention(q, k, v, mesh=None, axis_name: str = "sp",
+                                sm_scale=None, batch_axes=None):
+    """Convenience wrapper: shard_map over the token dim of BSHD inputs.
+
+    ``mesh=None`` uses the ambient mesh (``jax.set_mesh`` context, the
+    way the train steps run); ``batch_axes`` shards the batch dim (the
+    model's data axes) so the ring runs inside an ordinary dp/fsdp
+    step."""
     from jax.sharding import PartitionSpec as P
 
-    spec = P(None, axis_name, None, None)
+    if batch_axes is None:
+        from avion_tpu.parallel.mesh import BATCH_AXES
+
+        batch_axes = BATCH_AXES
+    # keep only axes the target mesh actually has (tests use sp-only
+    # meshes; the model path runs under the full data/fsdp/sp mesh)
+    m = mesh
+    if m is None:
+        from jax.sharding import get_abstract_mesh
+
+        m = get_abstract_mesh()
+    batch_axes = tuple(a for a in batch_axes if a in m.axis_names)
+    spec = P(batch_axes if batch_axes else None, axis_name, None, None)
+    kw = {} if mesh is None else {"mesh": mesh}
     fn = jax.shard_map(
         lambda q, k, v: ring_attention(q, k, v, axis_name=axis_name,
                                        sm_scale=sm_scale),
-        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-        check_vma=False,
+        in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False, **kw,
     )
     return fn(q, k, v)

@@ -23,10 +23,11 @@ from jax.sharding import Mesh
 
 DATA_AXIS = "data"
 FSDP_AXIS = "fsdp"
+SP_AXIS = "sp"  # sequence parallelism (ring attention) — beyond parity
 TENSOR_AXIS = "tensor"
 # batch dims shard over both DP-like axes so global batch = data*fsdp*per_shard
 BATCH_AXES = (DATA_AXIS, FSDP_AXIS)
-MESH_AXES = (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS)
+MESH_AXES = (DATA_AXIS, FSDP_AXIS, SP_AXIS, TENSOR_AXIS)
 
 
 def make_mesh(
@@ -34,22 +35,25 @@ def make_mesh(
     fsdp: int = 1,
     tensor: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
+    sp: int = 1,
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        assert n % (fsdp * tensor) == 0, (n, fsdp, tensor)
-        data = n // (fsdp * tensor)
-    assert data * fsdp * tensor == n, f"{data}x{fsdp}x{tensor} != {n}"
+        assert n % (fsdp * sp * tensor) == 0, (n, fsdp, sp, tensor)
+        data = n // (fsdp * sp * tensor)
+    assert data * fsdp * sp * tensor == n, \
+        f"mesh {data}x{fsdp}x{sp}x{tensor} != {n} devices"
     # Contiguous device order: tensor fastest (innermost ICI ring), then
-    # fsdp, then data — keeps tensor collectives on nearest neighbors.
-    arr = np.asarray(devices).reshape(data, fsdp, tensor)
+    # sp (ring-attention permutes ride nearest neighbors), then fsdp,
+    # then data.
+    arr = np.asarray(devices).reshape(data, fsdp, sp, tensor)
     return Mesh(arr, MESH_AXES)
 
 
 def mesh_from_config(cfg, devices=None) -> Mesh:
     d, f, t = cfg.axis_sizes(len(devices if devices is not None else jax.devices()))
-    return make_mesh(d, f, t, devices)
+    return make_mesh(d, f, t, devices, sp=getattr(cfg, "sp", 1))
 
 
 def n_batch_shards(mesh: Mesh) -> int:

@@ -120,3 +120,131 @@ def hierarchical_merge(
             out.append(tuple(rows[i]))
             i += 1
     return out
+
+
+# ---------------------------------------------------------------------------
+# phase-2 preprocessing: embedding-based caption grouping
+# (second_party/preprocess/dataset_preprocessing_phase2.py)
+# ---------------------------------------------------------------------------
+
+PHASE2_TASK = ("Identify the underlying action in this sentence for the "
+               "purpose of grouping identical events.")
+
+
+def make_hf_embedder(model_id: str = "Qwen/Qwen3-Embedding-8B",
+                     task: str = PHASE2_TASK, batch_size: int = 32,
+                     max_length: int = 512):
+    """Default embedding backend (transformers, last-token pool +
+    L2 norm — the reference's Qwen3-Embedding recipe).  Returns
+    ``embed(texts) -> [N, D] np.ndarray``.  Heavy import is deferred so
+    tests can inject a fake embedder instead."""
+    import torch
+    from transformers import AutoModel, AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(model_id, padding_side="left")
+    model = AutoModel.from_pretrained(model_id, torch_dtype=torch.bfloat16)
+    model.eval()
+
+    def embed(texts):
+        import numpy as np
+        import torch.nn.functional as F
+
+        outs = []
+        for i in range(0, len(texts), batch_size):
+            chunk = [f"Instruct: {task}\nQuery:{t}"
+                     for t in texts[i : i + batch_size]]
+            batch = tokenizer(chunk, padding=True, truncation=True,
+                              max_length=max_length, return_tensors="pt")
+            with torch.inference_mode():
+                hidden = model(**batch).last_hidden_state
+                # last-token pool under left padding
+                emb = hidden[:, -1]
+                outs.append(F.normalize(emb.float(), p=2, dim=1).numpy())
+        return np.concatenate(outs, axis=0)
+
+    return embed
+
+
+def phase2_group_captions(
+    samples: Sequence,
+    embed_fn: Callable[[List[str]], "np.ndarray"],
+    similarity_threshold: float = 0.9,
+) -> List[Tuple[str, str]]:
+    """Embedding-based grouping of temporally-overlapping consecutive
+    captions (phase-2 semantics, ``dataset_preprocessing_phase2.py``):
+    for each video's time-sorted segments, a consecutive pair with
+    ``next.start <= cur.end`` and different captions is merged when the
+    cosine similarity of the caption embeddings exceeds the threshold.
+
+    ``samples`` rows are ``(uuid, video_id, start, end, caption)``.
+    Unlike the reference (which embeds each pair separately — its own
+    NOTE says "I need to optimize it"), all unique captions are embedded
+    ONCE in batches and pairs are scored from the cached table.
+
+    Returns the uuid pairs to merge.
+    """
+    import numpy as np
+
+    by_vid: Dict[str, List] = {}
+    for r in samples:
+        by_vid.setdefault(r[1], []).append(r)
+
+    # collect candidate pairs + the unique captions they need
+    pairs = []
+    captions: Dict[str, int] = {}
+    for vid, rows in by_vid.items():
+        rows.sort(key=lambda r: float(r[2]))
+        for cur, nxt in zip(rows, rows[1:]):
+            if cur[4] == nxt[4]:
+                continue  # exact duplicates handled in phase 1
+            if float(nxt[2]) <= float(cur[3]):  # temporal overlap
+                for c in (cur[4], nxt[4]):
+                    captions.setdefault(str(c), len(captions))
+                pairs.append((cur, nxt))
+    if not pairs:
+        return []
+
+    texts = [t for t, _ in sorted(captions.items(), key=lambda kv: kv[1])]
+    emb = np.asarray(embed_fn(texts), np.float32)
+    emb = emb / np.maximum(np.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
+
+    merge = []
+    for cur, nxt in pairs:
+        sim = float(emb[captions[str(cur[4])]] @ emb[captions[str(nxt[4])]])
+        if sim > similarity_threshold:
+            merge.append((cur[0], nxt[0]))
+    return merge
+
+
+def apply_merge_pairs(samples: Sequence,
+                      merge_pairs: Sequence[Tuple[str, str]]) -> List[Tuple]:
+    """Apply phase-2 merge pairs: union the uuid pairs into groups and
+    collapse each group to one span (min start, max end, first caption) —
+    the phase-3 assembly step over phase-2 output."""
+    parent: Dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in merge_pairs:
+        parent[find(a)] = find(b)
+
+    groups: Dict[str, List] = {}
+    order = []
+    for r in samples:
+        g = find(r[0])
+        if g not in groups:
+            order.append(g)
+        groups.setdefault(g, []).append(r)
+    out = []
+    for g in order:
+        rows = sorted(groups[g], key=lambda r: float(r[2]))
+        first = rows[0]
+        out.append((first[0], first[1],
+                    min(float(r[2]) for r in rows),
+                    max(float(r[3]) for r in rows), first[4]))
+    return out

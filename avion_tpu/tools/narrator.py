@@ -143,3 +143,74 @@ def hf_captioner(model_name: str = "Salesforce/blip2-opt-2.7b",
         return [o["generated_text"].strip() for o in outs]
 
     return caption
+
+
+def lavila_captioner(checkpoint: Optional[str] = None, *,
+                     model_name: str =
+                     "VCLM_OPENAI_TIMESFORMER_LARGE_336PX_GPT2_XL",
+                     num_frames: int = 4, num_samples: int = 3,
+                     max_len: int = 77, top_p: float = 0.95,
+                     temperature: float = 0.7, seed: int = 0,
+                     model=None, params=None, tokenizer=None):
+    """Build a caption_fn from the LaViLa narrator proper
+    (``models/lavila.LavilaNarrator``): TimeSformer + gated GPT-2 with
+    the released checkpoint imported through
+    ``models/lavila_import.import_lavila_narrator_pt``.
+
+    The reference downloads the checkpoint in ``lavilla_narrator/
+    main.py:42-49``; point ``checkpoint`` at the same .pt.  ``model`` /
+    ``params`` / ``tokenizer`` may be injected directly (tests use a
+    tiny narrator).  The tokenizer must expose ``__call__(text) ->
+    ids`` and ``decode(ids) -> str`` with ``eos_token_id`` (GPT-2 BPE —
+    ``transformers.GPT2Tokenizer`` fits; the narrator prompts with EOS,
+    ``MyGPT2Tokenizer`` semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from avion_tpu.data.transforms import normalize_video
+    from avion_tpu.models import create_model
+
+    if model is None:
+        model = create_model(model_name, num_frames=num_frames)
+    if params is None:
+        if not checkpoint:
+            raise ValueError("need checkpoint=... or params=...")
+        from avion_tpu.models.lavila_import import import_lavila_narrator_pt
+        from avion_tpu.models.pt_import import merge_into_params
+
+        video0 = jnp.zeros((1, num_frames, model.image_size,
+                            model.image_size, 3), model.dtype)
+        text0 = jnp.zeros((1, 8), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), video0, text0)["params"]
+        params = merge_into_params(
+            params, import_lavila_narrator_pt(checkpoint), strict=False)
+    if tokenizer is None:
+        from transformers import GPT2Tokenizer
+
+        tokenizer = GPT2Tokenizer.from_pretrained("gpt2")
+    bos = getattr(tokenizer, "eos_token_id", 50256)  # GPT-2: BOS == EOS
+
+    @jax.jit
+    def _generate(params, video, rng):
+        return model.apply({"params": params}, video,
+                           jnp.full((1, 1), bos, jnp.int32),
+                           method=model.generate, max_len=max_len,
+                           temperature=temperature, top_p=top_p, rng=rng)
+
+    state = {"key": jax.random.PRNGKey(seed)}
+
+    def caption(frames: np.ndarray) -> List[str]:
+        video = normalize_video(jnp.asarray(frames)[None],
+                                dtype=model.dtype)
+        outs = []
+        for _ in range(num_samples):
+            state["key"], sub = jax.random.split(state["key"])
+            ids = np.asarray(_generate(params, video, sub))[0].tolist()
+            # strip the BOS prompt; cut at the first EOS after it
+            ids = ids[1:]
+            if bos in ids:
+                ids = ids[: ids.index(bos)]
+            outs.append(tokenizer.decode(ids).strip())
+        return outs
+
+    return caption

@@ -54,6 +54,7 @@ def build_model_and_state(cfg: TrainConfig, niter_per_ep: int):
         use_flash_attn=m.use_flash_attn,
         use_grad_checkpointing=m.use_grad_checkpointing,
         remat_policy=m.remat_policy,
+        sequence_parallel=m.sequence_parallel,
         patch_dropout=m.patch_dropout,
         pooling=m.pooling,
         freeze_temperature=m.freeze_temperature,

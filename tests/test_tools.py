@@ -158,3 +158,39 @@ def test_narrator_windowing(tmp_path):
     assert n == len(rows) == 2  # 4s video, 2s windows
     assert rows[0][0] == "v"
     assert isinstance(rows[0][3], list) and len(rows[0][3]) == 2
+
+
+def test_phase2_group_captions_and_apply():
+    """Phase-2 semantics (dataset_preprocessing_phase2.py): only
+    temporally-overlapping consecutive pairs with similar embeddings
+    merge; exact-duplicate captions are skipped (phase-1 territory)."""
+    import numpy as np
+
+    from avion_tpu.tools.dataset_tools import (apply_merge_pairs,
+                                               phase2_group_captions)
+
+    # rows: (uuid, video_id, start, end, caption)
+    samples = [
+        ("u1", "v1", 0.0, 2.0, "opens the drawer"),
+        ("u2", "v1", 1.5, 3.0, "opens drawer"),        # overlap + similar
+        ("u3", "v1", 5.0, 6.0, "cuts a tomato"),       # gap -> no pair
+        ("u4", "v1", 5.8, 7.0, "washes the plate"),    # overlap, dissimilar
+        ("u5", "v2", 0.0, 1.0, "pours water"),
+        ("u6", "v2", 0.5, 2.0, "pours water"),         # identical -> skip
+    ]
+
+    vocab = {"opens the drawer": [1, 0, 0], "opens drawer": [0.99, 0.14, 0],
+             "cuts a tomato": [0, 1, 0], "washes the plate": [0, 0, 1],
+             "pours water": [0.5, 0.5, 0.5]}
+
+    def embed(texts):
+        return np.asarray([vocab[t] for t in texts], np.float32)
+
+    pairs = phase2_group_captions(samples, embed, similarity_threshold=0.9)
+    assert pairs == [("u1", "u2")]
+
+    merged = apply_merge_pairs(samples, pairs)
+    spans = {r[0]: r for r in merged}
+    assert len(merged) == 5
+    assert spans["u1"][2:5] == (0.0, 3.0, "opens the drawer")
+    assert spans["u3"][2:4] == (5.0, 6.0)
