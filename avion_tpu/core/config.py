@@ -52,17 +52,18 @@ class MeshConfig:
 
     data: int = -1  # -1: use all remaining devices
     fsdp: int = 1
+    pp: int = 1  # pipeline parallelism (GPipe over layer stages)
     sp: int = 1  # sequence parallelism (ring attention over tokens)
     tensor: int = 1
 
     def axis_sizes(self, n_devices: int) -> Tuple[int, int, int]:
         d, f, t = self.data, self.fsdp, self.tensor
+        rest = f * self.pp * self.sp * t
         if d == -1:
-            assert n_devices % (f * self.sp * t) == 0, (n_devices, f,
-                                                        self.sp, t)
-            d = n_devices // (f * self.sp * t)
-        assert d * f * self.sp * t == n_devices, \
-            f"mesh {d}x{f}x{self.sp}x{t} != {n_devices} devices"
+            assert n_devices % rest == 0, (n_devices, f, self.pp, self.sp, t)
+            d = n_devices // rest
+        assert d * rest == n_devices, \
+            f"mesh {d}x{f}x{self.pp}x{self.sp}x{t} != {n_devices} devices"
         return d, f, t
 
 

@@ -1,6 +1,8 @@
 from avion_tpu.parallel.mesh import (
     DATA_AXIS,
     FSDP_AXIS,
+    PP_AXIS,
+    SP_AXIS,
     TENSOR_AXIS,
     BATCH_AXES,
     make_mesh,

@@ -22,7 +22,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from avion_tpu.parallel.mesh import BATCH_AXES, FSDP_AXIS, TENSOR_AXIS
+from avion_tpu.parallel.mesh import (BATCH_AXES, FSDP_AXIS, PP_AXIS,
+                                     TENSOR_AXIS)
 
 
 def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
@@ -43,21 +44,30 @@ def replicated(mesh: Mesh) -> NamedSharding:
 # parallel, proj & mlp-out are row-parallel (Megatron layout).
 _COL_PARALLEL = ("qkv", "fc1", "in_proj")
 _ROW_PARALLEL = ("out_proj", "fc2")
+# stacked-pipeline param leaves ([layers, ...] leading dim over "pp";
+# see parallel/pipeline.py _LEAF_PATHS)
+_PIPE_LEAVES = ("ln1_", "ln2_", "qkv_", "out_kernel", "out_bias",
+                "fc1_", "fc2_")
 
 
 def _spec_for_param(path: str, shape, mesh: Mesh) -> P:
     fsdp = mesh.shape[FSDP_AXIS]
     tensor = mesh.shape[TENSOR_AXIS]
+    pp = mesh.shape.get(PP_AXIS, 1)
     ndim = len(shape)
     if ndim <= 1 or max(shape) < 128:
         return P()
     axes: list = [None] * ndim
 
     lname = path.lower()
+    if pp > 1 and any(k in lname for k in _PIPE_LEAVES) \
+            and shape[0] % pp == 0:
+        axes[0] = PP_AXIS
     if tensor > 1:
         if any(k in lname for k in _COL_PARALLEL) and shape[-1] % tensor == 0:
             axes[-1] = TENSOR_AXIS
-        elif any(k in lname for k in _ROW_PARALLEL) and shape[0] % tensor == 0:
+        elif any(k in lname for k in _ROW_PARALLEL) \
+                and shape[0] % tensor == 0 and axes[0] is None:
             axes[0] = TENSOR_AXIS
 
     if fsdp > 1:
