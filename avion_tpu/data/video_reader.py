@@ -92,12 +92,29 @@ def _native_lib():
         ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.avd_close.argtypes = [ctypes.c_void_p]
+    lib.avd_write_test_video.restype = ctypes.c_int
+    lib.avd_write_test_video.argtypes = [ctypes.c_char_p] + \
+        [ctypes.c_int] * 6
     _lib = lib
     return _lib
 
 
 def native_available() -> bool:
     return _native_lib() is not None
+
+
+def write_test_video(path: str, n_frames: int, w: int = 64, h: int = 64,
+                     fps: int = 30, gop: int = 30, bframes: int = 2) -> None:
+    """Encode a deterministic mpeg4 test clip (B-frames + sparse
+    keyframes) — fixture generator for the decoder's fast-forward and
+    keyframe walk-back paths (no H.264 encoder ships in this image)."""
+    lib = _native_lib()
+    if lib is None:
+        raise DecodeError("native decode library unavailable")
+    rc = lib.avd_write_test_video(path.encode(), n_frames, w, h, fps, gop,
+                                  bframes)
+    if rc != 0:
+        raise DecodeError(lib.avd_last_error(None).decode("utf-8", "replace"))
 
 
 class VideoReader:

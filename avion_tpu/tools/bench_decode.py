@@ -86,6 +86,20 @@ def main(argv=None):
         path, backend="cv2", clips=args.clips, threads=args.threads), 1)
     if "native_fps" in out and out["cv2_fps"]:
         out["native_speedup"] = round(out["native_fps"] / out["cv2_fps"], 2)
+
+    # B-frame / sparse-keyframe chunk (x264-default-like GOP structure —
+    # the realistic production re-encode): exercises the NONREF
+    # fast-forward path, which is a no-op on the P-only fixture above.
+    if native_available() and not args.video:
+        from avion_tpu.data.video_reader import write_test_video
+
+        bf = tempfile.NamedTemporaryFile(suffix=".mp4", delete=False)
+        write_test_video(bf.name, args.seconds * 30, w=456, h=256, fps=30,
+                         gop=250, bframes=2)
+        out["native_bframe_fps"] = round(bench_reader(
+            bf.name, backend="native", clips=args.clips,
+            threads=args.threads), 1)
+        os.unlink(bf.name)
     print(json.dumps(out))
     if tmp:
         os.unlink(tmp.name)

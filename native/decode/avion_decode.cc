@@ -60,15 +60,32 @@ void set_error(Reader* r, const std::string& msg) {
 }
 
 int build_index(Reader* r) {
-  AVPacket* pkt = av_packet_alloc();
-  while (av_read_frame(r->fmt, pkt) >= 0) {
-    if (pkt->stream_index == r->stream_idx) {
-      int64_t pts = pkt->pts != AV_NOPTS_VALUE ? pkt->pts : pkt->dts;
-      r->index.push_back({pts, (pkt->flags & AV_PKT_FLAG_KEY) != 0});
+  AVStream* st = r->fmt->streams[r->stream_idx];
+  // Fast path: the mp4/mov sample table is already an exact frame index.
+  // Its timestamps are DTS, which equal PTS only when the stream has no
+  // frame reordering (video_delay == 0, e.g. bframes=0 re-encodes and
+  // the mp4v test fixtures) — B-frame content falls back to the exact
+  // packet scan.  Saves a full sequential read of the file at open().
+  int n_entries = avformat_index_get_entries_count(st);
+  if (n_entries > 0 && st->codecpar->video_delay == 0) {
+    r->index.reserve(n_entries);
+    for (int i = 0; i < n_entries; i++) {
+      const AVIndexEntry* e = avformat_index_get_entry(st, i);
+      if (e) r->index.push_back({e->timestamp,
+                                 (e->flags & AVINDEX_KEYFRAME) != 0});
     }
-    av_packet_unref(pkt);
   }
-  av_packet_free(&pkt);
+  if (r->index.empty()) {
+    AVPacket* pkt = av_packet_alloc();
+    while (av_read_frame(r->fmt, pkt) >= 0) {
+      if (pkt->stream_index == r->stream_idx) {
+        int64_t pts = pkt->pts != AV_NOPTS_VALUE ? pkt->pts : pkt->dts;
+        r->index.push_back({pts, (pkt->flags & AV_PKT_FLAG_KEY) != 0});
+      }
+      av_packet_unref(pkt);
+    }
+    av_packet_free(&pkt);
+  }
   std::sort(r->index.begin(), r->index.end(),
             [](const FrameIndex& a, const FrameIndex& b) { return a.pts < b.pts; });
   // rewind for decoding
@@ -193,6 +210,7 @@ int avd_get_batch(void* h, const int64_t* indices, int n, float cx, float cy,
   AVFrame* frame = av_frame_alloc();
   std::vector<uint8_t> scaled((size_t)out_w * out_h * 3);
   size_t found = 0;
+  std::vector<char> found_mask(uniq.size(), 0);
   std::vector<int64_t> wanted_pts(uniq.size());
   for (size_t i = 0; i < uniq.size(); i++) wanted_pts[i] = r->index[uniq[i]].pts;
 
@@ -239,6 +257,22 @@ int avd_get_batch(void* h, const int64_t* indices, int n, float cx, float cy,
     }
   };
 
+  // Fast-forward policy: while the next not-yet-found wanted frame is
+  // far ahead of the decode position, tell the decoder to skip
+  // non-reference frames (typically B-frames — x264-default chunk
+  // re-encodes carry 3 of them).  Safety margin: packets are sent in
+  // decode order, which leads presentation order by at most
+  // video_delay frames, so with the gap threshold video_delay+2 a
+  // wanted frame's packet is always sent with skipping OFF.
+  const int delay = std::max(r->codec->has_b_frames,
+                             (int)r->codec->delay);
+  const int skip_gap = delay + 2;
+  auto next_wanted_idx = [&]() -> int64_t {
+    for (size_t i = 0; i < uniq.size(); i++)
+      if (!found_mask[i]) return uniq[i];
+    return nframes;
+  };
+
   // decode forward until all wanted frames are emitted
   bool draining = false;
   while (found < uniq.size()) {
@@ -252,6 +286,11 @@ int avd_get_batch(void* h, const int64_t* indices, int n, float cx, float cy,
           av_packet_unref(pkt);
           continue;
         }
+        r->codec->skip_frame =
+            (r->last_decoded_idx >= 0 &&
+             next_wanted_idx() - r->last_decoded_idx > skip_gap)
+                ? AVDISCARD_NONREF
+                : AVDISCARD_DEFAULT;
         avcodec_send_packet(r->codec, pkt);
         av_packet_unref(pkt);
       }
@@ -270,8 +309,10 @@ int avd_get_batch(void* h, const int64_t* indices, int n, float cx, float cy,
           r->last_decoded_idx = pit - r->index.begin();
       }
       auto it = std::lower_bound(wanted_pts.begin(), wanted_pts.end(), pts);
-      if (it != wanted_pts.end() && *it == pts) {
+      if (it != wanted_pts.end() && *it == pts &&
+          !found_mask[it - wanted_pts.begin()]) {
         emit(frame, (size_t)(it - wanted_pts.begin()));
+        found_mask[it - wanted_pts.begin()] = 1;
         found++;
       }
       av_frame_unref(frame);
@@ -280,6 +321,7 @@ int avd_get_batch(void* h, const int64_t* indices, int n, float cx, float cy,
     if (draining && ret == AVERROR_EOF) break;
   }
 
+  r->codec->skip_frame = AVDISCARD_DEFAULT;
   if (sws) sws_freeContext(sws);
   av_frame_free(&frame);
   av_packet_free(&pkt);
@@ -297,6 +339,79 @@ void avd_close(void* h) {
   if (r->codec) avcodec_free_context(&r->codec);
   if (r->fmt) avformat_close_input(&r->fmt);
   delete r;
+}
+
+// Test-fixture encoder: writes an mpeg4 .mp4 with a chosen GOP size and
+// B-frame count (the only encoder guaranteed present in libavcodec).
+// Exists because the CI image has no H.264 encoder, and exercising the
+// NONREF fast-forward path + keyframe walk-back requires B-frame /
+// sparse-keyframe content.  Frames are deterministic: frame i has a
+// vertical bar at x = (i * 7) % w over a per-frame flat gray level, so
+// frames are visually distinct and re-identifiable after lossy coding.
+int avd_write_test_video(const char* path, int n_frames, int w, int h,
+                         int fps, int gop, int bframes) {
+  const AVCodec* enc = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  if (!enc) { g_error = "no mpeg4 encoder"; return -1; }
+  AVFormatContext* fmt = nullptr;
+  if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0 ||
+      !fmt) { g_error = "alloc output"; return -1; }
+  AVStream* st = avformat_new_stream(fmt, nullptr);
+  AVCodecContext* c = avcodec_alloc_context3(enc);
+  c->width = w; c->height = h;
+  c->pix_fmt = AV_PIX_FMT_YUV420P;
+  c->time_base = {1, fps};
+  c->gop_size = gop;
+  c->max_b_frames = bframes;
+  c->bit_rate = (int64_t)w * h * fps / 4;
+  if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    c->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  if (avcodec_open2(c, enc, nullptr) < 0) {
+    g_error = "open mpeg4 encoder";
+    avcodec_free_context(&c); avformat_free_context(fmt); return -1;
+  }
+  avcodec_parameters_from_context(st->codecpar, c);
+  st->time_base = c->time_base;
+  if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
+      avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
+    g_error = "avio_open"; avcodec_free_context(&c);
+    avformat_free_context(fmt); return -1;
+  }
+  avformat_write_header(fmt, nullptr);
+  AVFrame* f = av_frame_alloc();
+  f->format = c->pix_fmt; f->width = w; f->height = h;
+  av_frame_get_buffer(f, 0);
+  AVPacket* pkt = av_packet_alloc();
+  auto flush_enc = [&](AVFrame* fr) {
+    avcodec_send_frame(c, fr);
+    while (avcodec_receive_packet(c, pkt) >= 0) {
+      av_packet_rescale_ts(pkt, c->time_base, st->time_base);
+      pkt->stream_index = st->index;
+      av_interleaved_write_frame(fmt, pkt);
+      av_packet_unref(pkt);
+    }
+  };
+  for (int i = 0; i < n_frames; i++) {
+    av_frame_make_writable(f);
+    uint8_t lum = (uint8_t)(40 + (i * 13) % 160);
+    int bar = (i * 7) % w;
+    for (int y = 0; y < h; y++) {
+      memset(f->data[0] + y * f->linesize[0], lum, w);
+      for (int x = bar; x < std::min(w, bar + 8); x++)
+        f->data[0][y * f->linesize[0] + x] = 235;
+    }
+    memset(f->data[1], 128, (size_t)f->linesize[1] * h / 2);
+    memset(f->data[2], 128, (size_t)f->linesize[2] * h / 2);
+    f->pts = i;
+    flush_enc(f);
+  }
+  flush_enc(nullptr);  // drain
+  av_write_trailer(fmt);
+  av_packet_free(&pkt);
+  av_frame_free(&f);
+  avcodec_free_context(&c);
+  if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
+  avformat_free_context(fmt);
+  return 0;
 }
 
 }  // extern "C"

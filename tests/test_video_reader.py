@@ -93,3 +93,62 @@ def test_sequential_batches_reuse_decoder(test_video):
 def test_missing_file_raises():
     with pytest.raises(DecodeError):
         VideoReader("/nonexistent/file.mp4")
+
+
+# ---------------------------------------------------------------------------
+# B-frame / sparse-keyframe content (native fixture encoder): exercises the
+# AVDISCARD_NONREF fast-forward and keyframe walk-back seek paths, which are
+# no-ops on the P-only cv2 fixtures above.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bframe_video(tmp_path_factory):
+    from avion_tpu.data.video_reader import write_test_video
+
+    path = str(tmp_path_factory.mktemp("bf") / "bf.mp4")
+    write_test_video(path, 450, w=128, h=96, fps=30, gop=60, bframes=2)
+    return path
+
+
+def _expected_luma(i):
+    return 40 + (13 * i) % 160
+
+
+def test_bframe_frame_accuracy(bframe_video):
+    vr = VideoReader(bframe_video, backend="native")
+    assert len(vr) == 450
+    # far-apart wanted frames: skip_frame=NONREF active between them; the
+    # emitted frames must still be the exact requested ones (identified by
+    # their per-frame luminance level)
+    ids = [3, 77, 190, 191, 310, 448]
+    out = vr.get_batch(ids, CropSpec(), (128, 96))
+    for k, fid in enumerate(ids):
+        got = float(out[k].mean())
+        assert abs(got - _expected_luma(fid)) < 16, (fid, got,
+                                                     _expected_luma(fid))
+
+
+def test_bframe_matches_cv2(bframe_video):
+    # cv2's POS_FRAMES seeking drifts by a frame inside B-frame GOPs
+    # (the exact failure mode pts-indexed seeking fixes), so compare on
+    # sequential-from-keyframe reads where cv2 is reliable; the native
+    # reader's random access is separately pinned by
+    # test_bframe_frame_accuracy's per-frame identity pattern.
+    vn = VideoReader(bframe_video, backend="native")
+    vc = VideoReader(bframe_video, backend="cv2")
+    ids = [10, 65, 66, 200]
+    a = vn.get_batch(ids, CropSpec(), (128, 96))
+    b = vc.get_batch(ids, CropSpec(), (128, 96))
+    # same decoder underneath; only the RGB conversion differs slightly
+    assert np.abs(a.astype(np.int16) - b.astype(np.int16)).mean() < 4.0
+
+
+def test_bframe_sequential_reads(bframe_video):
+    vr = VideoReader(bframe_video, backend="native")
+    a = vr.get_batch([100, 101, 102, 103], CropSpec(), (64, 48))
+    bb = vr.get_batch([140, 141, 142, 143], CropSpec(), (64, 48))
+    for k, fid in enumerate((100, 101, 102, 103)):
+        assert abs(float(a[k].mean()) - _expected_luma(fid)) < 16
+    for k, fid in enumerate((140, 141, 142, 143)):
+        assert abs(float(bb[k].mean()) - _expected_luma(fid)) < 16
