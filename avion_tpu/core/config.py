@@ -54,16 +54,19 @@ class MeshConfig:
     fsdp: int = 1
     pp: int = 1  # pipeline parallelism (GPipe over layer stages)
     sp: int = 1  # sequence parallelism (ring attention over tokens)
+    ep: int = 1  # expert parallelism (MoE expert sharding)
     tensor: int = 1
 
     def axis_sizes(self, n_devices: int) -> Tuple[int, int, int]:
         d, f, t = self.data, self.fsdp, self.tensor
-        rest = f * self.pp * self.sp * t
+        rest = f * self.pp * self.sp * self.ep * t
         if d == -1:
-            assert n_devices % rest == 0, (n_devices, f, self.pp, self.sp, t)
+            assert n_devices % rest == 0, (n_devices, f, self.pp, self.sp,
+                                           self.ep, t)
             d = n_devices // rest
-        assert d * rest == n_devices, \
-            f"mesh {d}x{f}x{self.pp}x{self.sp}x{t} != {n_devices} devices"
+        assert d * rest == n_devices, (
+            f"mesh {d}x{f}x{self.pp}x{self.sp}x{self.ep}x{t} "
+            f"!= {n_devices} devices")
         return d, f, t
 
 

@@ -150,7 +150,10 @@ class SelfAttention(nn.Module):
 
 
 class Block(nn.Module):
-    """Pre-LN residual attention block (``transformer.py:94-150``)."""
+    """Pre-LN residual attention block (``transformer.py:94-150``).
+
+    ``moe_experts > 0`` swaps the dense MLP for an expert-parallel
+    MoE MLP (``ops/moe.py``) — beyond-parity capability."""
 
     width: int
     heads: int
@@ -162,6 +165,7 @@ class Block(nn.Module):
     ls_init_value: Optional[float] = None
     drop_path: float = 0.0
     sequence_parallel: bool = False
+    moe_experts: int = 0
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -174,8 +178,15 @@ class Block(nn.Module):
         y = DropPath(self.drop_path, name="dp_1")(y, deterministic)
         x = x + y
         y = LayerNorm(dtype=self.dtype, name="ln_2")(x)
-        y = Mlp(self.width, self.mlp_ratio, self.act, self.dtype,
-                name="mlp")(y)
+        if self.moe_experts > 0:
+            from avion_tpu.ops.moe import MoEMlp
+
+            y = MoEMlp(self.width, experts=self.moe_experts,
+                       hidden_mult=self.mlp_ratio, act=self.act,
+                       dtype=self.dtype, name="moe_mlp")(y)
+        else:
+            y = Mlp(self.width, self.mlp_ratio, self.act, self.dtype,
+                    name="mlp")(y)
         if self.ls_init_value is not None:
             y = LayerScale(self.ls_init_value, name="ls_2")(y)
         y = DropPath(self.drop_path, name="dp_2")(y, deterministic)
@@ -199,6 +210,7 @@ class Transformer(nn.Module):
     remat: bool = False
     remat_policy: str = "save_attn"  # full | save_attn
     sequence_parallel: bool = False
+    moe_experts: int = 0
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -219,7 +231,7 @@ class Transformer(nn.Module):
             blk = block_cls(
                 self.width, self.heads, self.mlp_ratio, self.act, self.dtype,
                 self.use_flash, self.causal, self.ls_init_value, dp,
-                self.sequence_parallel,
+                self.sequence_parallel, self.moe_experts,
                 name=f"resblocks_{i}",
             )
             x = blk(x, deterministic) if not self.remat else blk(x, deterministic)

@@ -25,10 +25,11 @@ DATA_AXIS = "data"
 FSDP_AXIS = "fsdp"
 PP_AXIS = "pp"  # pipeline parallelism (GPipe over stages) — beyond parity
 SP_AXIS = "sp"  # sequence parallelism (ring attention) — beyond parity
+EP_AXIS = "ep"  # expert parallelism (MoE all_to_all) — beyond parity
 TENSOR_AXIS = "tensor"
 # batch dims shard over both DP-like axes so global batch = data*fsdp*per_shard
 BATCH_AXES = (DATA_AXIS, FSDP_AXIS)
-MESH_AXES = (DATA_AXIS, FSDP_AXIS, PP_AXIS, SP_AXIS, TENSOR_AXIS)
+MESH_AXES = (DATA_AXIS, FSDP_AXIS, PP_AXIS, SP_AXIS, EP_AXIS, TENSOR_AXIS)
 
 
 def make_mesh(
@@ -38,25 +39,28 @@ def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     sp: int = 1,
     pp: int = 1,
+    ep: int = 1,
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    rest = fsdp * pp * sp * ep * tensor
     if data == -1:
-        assert n % (fsdp * pp * sp * tensor) == 0, (n, fsdp, pp, sp, tensor)
-        data = n // (fsdp * pp * sp * tensor)
-    assert data * fsdp * pp * sp * tensor == n, \
-        f"mesh {data}x{fsdp}x{pp}x{sp}x{tensor} != {n} devices"
+        assert n % rest == 0, (n, fsdp, pp, sp, ep, tensor)
+        data = n // rest
+    assert data * rest == n, \
+        f"mesh {data}x{fsdp}x{pp}x{sp}x{ep}x{tensor} != {n} devices"
     # Contiguous device order: tensor fastest (innermost ICI ring), then
-    # sp (ring-attention permutes ride nearest neighbors), then pp
-    # (stage-to-stage ppermutes), then fsdp, then data.
-    arr = np.asarray(devices).reshape(data, fsdp, pp, sp, tensor)
+    # ep (MoE all_to_alls), then sp (ring-attention permutes ride
+    # nearest neighbors), then pp (stage-to-stage ppermutes), then fsdp,
+    # then data.
+    arr = np.asarray(devices).reshape(data, fsdp, pp, sp, ep, tensor)
     return Mesh(arr, MESH_AXES)
 
 
 def mesh_from_config(cfg, devices=None) -> Mesh:
     d, f, t = cfg.axis_sizes(len(devices if devices is not None else jax.devices()))
     return make_mesh(d, f, t, devices, sp=getattr(cfg, "sp", 1),
-                     pp=getattr(cfg, "pp", 1))
+                     pp=getattr(cfg, "pp", 1), ep=getattr(cfg, "ep", 1))
 
 
 def n_batch_shards(mesh: Mesh) -> int:

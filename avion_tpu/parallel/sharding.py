@@ -22,8 +22,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from avion_tpu.parallel.mesh import (BATCH_AXES, FSDP_AXIS, PP_AXIS,
-                                     TENSOR_AXIS)
+from avion_tpu.parallel.mesh import (BATCH_AXES, EP_AXIS, FSDP_AXIS,
+                                     PP_AXIS, TENSOR_AXIS)
 
 
 def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
@@ -60,8 +60,11 @@ def _spec_for_param(path: str, shape, mesh: Mesh) -> P:
     axes: list = [None] * ndim
 
     lname = path.lower()
+    ep = mesh.shape.get(EP_AXIS, 1)
+    if ep > 1 and "expert" in lname and shape[0] % ep == 0:
+        axes[0] = EP_AXIS  # [E, ...] expert-stacked weights
     if pp > 1 and any(k in lname for k in _PIPE_LEAVES) \
-            and shape[0] % pp == 0:
+            and shape[0] % pp == 0 and axes[0] is None:
         axes[0] = PP_AXIS
     if tensor > 1:
         if any(k in lname for k in _COL_PARALLEL) and shape[-1] % tensor == 0:
