@@ -119,35 +119,67 @@ class LavilaNarrator(nn.Module):
         logits = self.text_decoder(text[:, :-1], img)
         return {"logits": logits, "labels": text[:, 1:]}
 
+    def _sample(self, logit, rng, temperature, top_p):
+        """Greedy (rng None) or nucleus sample from [B, V] logits."""
+        logit = logit / max(temperature, 1e-6)
+        if rng is None:
+            return jnp.argmax(logit, axis=-1).astype(jnp.int32), rng
+        new_rng, sub = jax.random.split(rng)
+        sorted_logits = jnp.sort(logit, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum((cum < top_p).astype(jnp.int32), axis=-1)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None],
+                                     axis=-1)
+        filtered = jnp.where(logit < cutoff, -1e30, logit)
+        return jax.random.categorical(sub, filtered).astype(jnp.int32), \
+            new_rng
+
     def generate(self, video, prompt, *, max_len: int = 77,
                  temperature: float = 0.7, top_p: float = 0.95,
-                 rng: Optional[jax.Array] = None):
+                 rng: Optional[jax.Array] = None, use_cache: bool = True):
         """Nucleus sampling continuation of ``prompt`` [B, S0] given the
-        clip.  Greedy when rng is None.  Returns [B, max_len] ids."""
+        clip.  Greedy when rng is None.  Returns [B, max_len] ids.
+
+        ``use_cache=True`` (default) runs KV-cached single-token decode
+        — ~``max_len``x fewer decoder FLOPs than the reference's
+        full-prefix re-decode at GPT-2-XL scale; greedy output is
+        identical to the uncached path (sampled draws differ only in
+        RNG stream alignment)."""
         img = self.encode_image(video)
         b, s0 = prompt.shape
         tokens = jnp.zeros((b, max_len), jnp.int32)
         tokens = tokens.at[:, :s0].set(prompt)
 
+        if use_cache:
+            from avion_tpu.models.gpt2_gated import make_decode_cache
+
+            cross = self.text_decoder.precompute_cross(img)
+            kv = make_decode_cache(self.text_decoder.layers, b, max_len,
+                                   self.text_width, self.dtype)
+
+            def step(carry, i):
+                tokens, rng, kv = carry
+                # feed the token at i-1 (prompt prefill for i < s0,
+                # generated otherwise); logits predict position i
+                tok = jax.lax.dynamic_slice(tokens, (0, i - 1), (b, 1))
+                logit, kv = self.text_decoder.decode_one(tok, i - 1, kv,
+                                                         cross)
+                nxt, new_rng = self._sample(logit, rng, temperature, top_p)
+                write = i >= s0
+                tokens = jnp.where(write, tokens.at[:, i].set(nxt), tokens)
+                return (tokens, new_rng, kv), None
+
+            (tokens, _, _), _ = jax.lax.scan(
+                step, (tokens, rng, kv), jnp.arange(1, max_len))
+            return tokens
+
         def step(carry, i):
             tokens, rng = carry
             logits = self.text_decoder(tokens, img)  # [B, max_len, V]
             idx = jnp.clip(i - 1, 0, max_len - 1)
-            logit = logits[:, idx] / max(temperature, 1e-6)
-            if rng is None:
-                nxt = jnp.argmax(logit, axis=-1).astype(jnp.int32)
-                new_rng = rng
-            else:
-                new_rng, sub = jax.random.split(rng)
-                sorted_logits = jnp.sort(logit, axis=-1)[:, ::-1]
-                probs = jax.nn.softmax(sorted_logits, axis=-1)
-                cum = jnp.cumsum(probs, axis=-1)
-                cutoff_idx = jnp.sum((cum < top_p).astype(jnp.int32),
-                                     axis=-1)
-                cutoff = jnp.take_along_axis(
-                    sorted_logits, cutoff_idx[:, None], axis=-1)
-                filtered = jnp.where(logit < cutoff, -1e30, logit)
-                nxt = jax.random.categorical(sub, filtered).astype(jnp.int32)
+            nxt, new_rng = self._sample(logits[:, idx], rng, temperature,
+                                        top_p)
             write = (i >= s0) & (i < max_len)
             tokens = jnp.where(
                 write,

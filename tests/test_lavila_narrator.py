@@ -340,3 +340,51 @@ def test_lavila_narrations_through_pipeline(tmp_path):
     assert vid == "clip0" and end > start
     assert isinstance(caps, list) and len(caps) == 2
     assert all(isinstance(c, str) for c in caps)
+
+
+def test_cached_decode_matches_full_decode():
+    """decode_one (KV-cache path) reproduces the teacher-forced logits
+    of the full __call__ at every position."""
+    from avion_tpu.models.gpt2_gated import (GatedGPT2LMHead,
+                                             make_decode_cache)
+
+    dec = GatedGPT2LMHead(vocab_size=VOCAB, max_positions=32, width=TW,
+                          layers=TL, heads=TH, cross_freq=CROSS_FREQ)
+    rng = jax.random.PRNGKey(3)
+    b, s, m = 2, 9, NQ
+    enc = jax.random.normal(rng, (b, m, TW), jnp.float32)
+    tokens = jax.random.randint(rng, (b, s), 0, VOCAB, jnp.int32)
+    params = dec.init(rng, tokens, enc)["params"]
+
+    full = dec.apply({"params": params}, tokens, enc)  # [B, S, V]
+
+    cross = dec.apply({"params": params}, enc,
+                      method=dec.precompute_cross)
+    kv = make_decode_cache(TL, b, s, TW)
+    outs = []
+    for i in range(s):
+        logit, kv = dec.apply({"params": params}, tokens[:, i : i + 1],
+                              i, kv, cross, method=dec.decode_one)
+        outs.append(np.asarray(logit))
+    cached = np.stack(outs, axis=1)
+    np.testing.assert_allclose(cached, np.asarray(full), atol=2e-4,
+                               rtol=2e-4)
+
+
+def test_cached_generate_matches_uncached_greedy():
+    rs = np.random.RandomState(7)
+    sd = _mk_state(rs)
+    model = _model()
+    rng = jax.random.PRNGKey(1)
+    video = jax.random.normal(rng, (2, FRAMES, IMG, IMG, 3), jnp.float32)
+    prompt = jnp.asarray([[3, 5], [1, 2]], jnp.int32)
+    params = model.init(rng, video, jnp.zeros((2, 6), jnp.int32))["params"]
+    params = merge_into_params(params, import_lavila_narrator_pt(
+        {k: v.numpy() for k, v in sd.items()}), strict=True)
+    fast = model.apply({"params": params}, video, prompt,
+                       method=model.generate, max_len=10, rng=None,
+                       use_cache=True)
+    slow = model.apply({"params": params}, video, prompt,
+                       method=model.generate, max_len=10, rng=None,
+                       use_cache=False)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
