@@ -16,6 +16,9 @@ Endpoints (JSON in/out):
   "shape": [N,T,H,W,3]}`` (raw uint8 little-endian bytes, base64)
 - ``POST /v1/similarity`` ``{"texts": [...], "paths"|"frames_b64": ...}``
   → temperature-scaled logits [n_videos, n_texts]
+- ``POST /v1/narrate`` ``{"paths"|"frames_b64": ...}`` → generated
+  narrations per clip (with ``--narrator-checkpoint``; KV-cached LaViLa
+  decoding)
 
 Start::
 
@@ -34,6 +37,84 @@ from typing import List, Optional
 import numpy as np
 
 from avion_tpu.serve.batcher import MicroBatcher
+
+
+def decode_clip(path: str, clip_length: int, size: int,
+                start: Optional[float] = None,
+                end: Optional[float] = None) -> np.ndarray:
+    """Uniform temporal sampling + center crop-resize to a square
+    input; returns [T, S, S, 3] uint8."""
+    import cv2
+
+    from avion_tpu.data.video_reader import VideoReader
+
+    vr = VideoReader(path)
+    try:
+        fps = vr.get_avg_fps() or 30.0
+        lo = int((start or 0.0) * fps)
+        hi = int(end * fps) if end is not None else len(vr)
+        hi = max(lo + 1, min(hi, len(vr)))
+        ids = np.linspace(lo, hi - 1, clip_length).astype(int)
+        frames = vr.get_batch(list(ids))
+    finally:
+        vr.close()
+    t, h, w = frames.shape[:3]
+    scale = size / min(h, w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    out = np.empty((t, nh, nw, 3), np.uint8)
+    for i in range(t):
+        out[i] = cv2.resize(frames[i], (nw, nh),
+                            interpolation=cv2.INTER_LINEAR)
+    y0, x0 = (nh - size) // 2, (nw - size) // 2
+    return out[:, y0 : y0 + size, x0 : x0 + size]
+
+
+def clips_from_request(req: dict, clip_length: int,
+                       size: int) -> List[np.ndarray]:
+    if "frames_b64" in req:
+        shape = tuple(req["shape"])
+        if len(shape) != 5 or shape[1] != clip_length or shape[4] != 3:
+            raise ValueError(
+                f"shape must be [N, {clip_length}, H, W, 3], "
+                f"got {list(shape)}")
+        raw = base64.b64decode(req["frames_b64"])
+        arr = np.frombuffer(raw, np.uint8).reshape(shape)
+        if shape[2] != size or shape[3] != size:
+            raise ValueError(
+                f"frames must be {size}px square (pre-resized); "
+                "use 'paths' for server-side resize")
+        return list(arr)
+    if "paths" in req:
+        return [decode_clip(p, clip_length, size, req.get("start"),
+                            req.get("end"))
+                for p in req["paths"]]
+    raise ValueError("request needs 'paths' or 'frames_b64'")
+
+
+class NarrateService:
+    """Narration endpoint over any ``caption_fn(frames) -> [str]``
+    (``tools/narrator.py`` captioners: native VCLM, imported LaViLa
+    with KV-cached decoding, HF pipeline).  The batcher serializes
+    device access against concurrent requests; generation itself
+    batches internally via ``num_samples``."""
+
+    def __init__(self, caption_fn, *, clip_length: int, image_size: int):
+        self.clip_length = clip_length
+        self.image_size = image_size
+        self.batcher = MicroBatcher(
+            lambda clips: [caption_fn(c) for c in clips],
+            max_batch=1, max_wait_ms=0.0, name="narrate")
+
+    def narrate(self, req: dict) -> dict:
+        clips = clips_from_request(req, self.clip_length, self.image_size)
+        futs = [self.batcher.submit(c) for c in clips]
+        return {"narrations": [f.result(timeout=600) for f in futs]}
+
+    def metrics(self) -> dict:
+        return self.batcher.metrics()
+
+    def close(self):
+        self.batcher.close()
 
 
 class ClipService:
@@ -81,53 +162,12 @@ class ClipService:
 
     def decode_clip(self, path: str, start: Optional[float] = None,
                     end: Optional[float] = None) -> np.ndarray:
-        """Uniform temporal sampling + center crop-resize to the model's
-        square input; returns [T, S, S, 3] uint8."""
-        import cv2
-
-        from avion_tpu.data.video_reader import VideoReader
-
-        size = self.model.image_size
-        vr = VideoReader(path)
-        try:
-            fps = vr.get_avg_fps() or 30.0
-            lo = int((start or 0.0) * fps)
-            hi = int(end * fps) if end is not None else len(vr)
-            hi = max(lo + 1, min(hi, len(vr)))
-            ids = np.linspace(lo, hi - 1, self.clip_length).astype(int)
-            frames = vr.get_batch(list(ids))
-        finally:
-            vr.close()
-        t, h, w = frames.shape[:3]
-        scale = size / min(h, w)
-        nh, nw = int(round(h * scale)), int(round(w * scale))
-        out = np.empty((t, nh, nw, 3), np.uint8)
-        for i in range(t):
-            out[i] = cv2.resize(frames[i], (nw, nh),
-                                interpolation=cv2.INTER_LINEAR)
-        y0, x0 = (nh - size) // 2, (nw - size) // 2
-        return out[:, y0 : y0 + size, x0 : x0 + size]
+        return decode_clip(path, self.clip_length, self.model.image_size,
+                           start, end)
 
     def clips_from_request(self, req: dict) -> List[np.ndarray]:
-        if "frames_b64" in req:
-            shape = tuple(req["shape"])
-            if len(shape) != 5 or shape[1] != self.clip_length or \
-                    shape[4] != 3:
-                raise ValueError(
-                    f"shape must be [N, {self.clip_length}, H, W, 3], "
-                    f"got {list(shape)}")
-            raw = base64.b64decode(req["frames_b64"])
-            arr = np.frombuffer(raw, np.uint8).reshape(shape)
-            if shape[2] != self.model.image_size or \
-                    shape[3] != self.model.image_size:
-                raise ValueError(
-                    f"frames must be {self.model.image_size}px square "
-                    "(pre-resized); use 'paths' for server-side resize")
-            return list(arr)
-        if "paths" in req:
-            return [self.decode_clip(p, req.get("start"), req.get("end"))
-                    for p in req["paths"]]
-        raise ValueError("request needs 'paths' or 'frames_b64'")
+        return clips_from_request(req, self.clip_length,
+                                  self.model.image_size)
 
     # -- endpoint handlers ----------------------------------------------
 
@@ -168,7 +208,9 @@ class ClipService:
 
 
 def make_server(service: ClipService, port: int = 0,
-                host: str = "127.0.0.1") -> ThreadingHTTPServer:
+                host: str = "127.0.0.1",
+                narrate: Optional[NarrateService] = None
+                ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; ``server.server_address[1]``
     is the bound port (ephemeral when ``port=0``)."""
     import jax
@@ -193,7 +235,10 @@ def make_server(service: ClipService, port: int = 0,
                                  "device": str(d),
                                  "model": type(service.model).__name__})
             elif self.path == "/metrics":
-                self._json(200, service.metrics())
+                m = service.metrics()
+                if narrate is not None:
+                    m["narrate"] = narrate.metrics()
+                self._json(200, m)
             else:
                 self._json(404, {"error": f"no route {self.path}"})
 
@@ -207,6 +252,8 @@ def make_server(service: ClipService, port: int = 0,
                     self._json(200, service.embed_video(req))
                 elif self.path == "/v1/similarity":
                     self._json(200, service.similarity(req))
+                elif self.path == "/v1/narrate" and narrate is not None:
+                    self._json(200, narrate.narrate(req))
                 else:
                     self._json(404, {"error": f"no route {self.path}"})
             except (KeyError, ValueError, TypeError) as e:
@@ -236,11 +283,19 @@ def main(argv=None):
 
     load_dotenv()
     argv = list(argv if argv is not None else sys.argv[1:])
-    port = 8080
-    if "--port" in argv:
-        i = argv.index("--port")
-        port = int(argv[i + 1])
-        del argv[i : i + 2]
+
+    def _flag(name, default=None):
+        if name in argv:
+            i = argv.index(name)
+            val = argv[i + 1]
+            del argv[i : i + 2]
+            return val
+        return default
+
+    port = int(_flag("--port", "8080"))
+    narrator_ckpt = _flag("--narrator-checkpoint")
+    narrator_name = _flag("--narrator-model",
+                          "VCLM_OPENAI_TIMESFORMER_LARGE_336PX_GPT2_XL")
     cfg = TrainConfig().apply_overrides(argv)
     m = cfg.model
     model = create_model(
@@ -260,7 +315,19 @@ def main(argv=None):
         cfg.pretrain_model, template, num_frames=cfg.data.clip_length,
         context_length=model.context_length, vocab_size=model.vocab_size)
     service = ClipService(model, params, batch=cfg.data.val_batch_size)
-    server = make_server(service, port=port, host="0.0.0.0")
+    narrate = None
+    if narrator_ckpt:
+        from avion_tpu.models import create_model as _cm
+        from avion_tpu.tools.narrator import lavila_captioner
+
+        nmodel = _cm(narrator_name, num_frames=cfg.data.clip_length)
+        narrate = NarrateService(
+            lavila_captioner(narrator_ckpt, model=nmodel,
+                             num_frames=cfg.data.clip_length),
+            clip_length=cfg.data.clip_length,
+            image_size=nmodel.image_size)
+    server = make_server(service, port=port, host="0.0.0.0",
+                         narrate=narrate)
     print(f"serving {m.name} on :{server.server_address[1]}")
     server.serve_forever()
 

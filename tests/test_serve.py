@@ -238,3 +238,49 @@ def test_metrics_endpoint_reports_batching(served):
     assert code == 200
     assert body["text"]["requests"] >= 16
     assert body["text"]["batches"] >= 1
+
+
+def test_narrate_endpoint(served):
+    """/v1/narrate over a tiny LaViLa narrator with cached decoding."""
+    from avion_tpu.models.lavila import LavilaNarrator
+    from avion_tpu.serve.server import NarrateService, make_server, \
+        serve_forever_in_thread
+    from avion_tpu.tools.narrator import lavila_captioner
+
+    narr = LavilaNarrator(
+        image_size=16, patch_size=8, num_frames=2, vision_width=32,
+        vision_layers=1, vision_heads=2, vocab_size=64, text_width=32,
+        text_layers=2, text_heads=2, cross_freq=2, num_img_queries=4,
+        max_positions=32, pool_heads=2, pool_dim_head=8,
+        dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    params = narr.init(rng, jnp.zeros((1, 2, 16, 16, 3)),
+                       jnp.zeros((1, 4), jnp.int32))["params"]
+
+    class FakeTok:
+        eos_token_id = 1
+
+        def decode(self, ids):
+            return " ".join(f"w{i}" for i in ids)
+
+    cap = lavila_captioner(model=narr, params=params, tokenizer=FakeTok(),
+                           num_samples=2, max_len=6)
+    ns = NarrateService(cap, clip_length=2, image_size=16)
+    server = make_server(served[1], port=0, narrate=ns)
+    serve_forever_in_thread(server)
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        frames = np.random.RandomState(0).randint(
+            0, 255, (2, 2, 16, 16, 3), np.uint8)
+        code, body = _post(url, "/v1/narrate", {
+            "frames_b64": base64.b64encode(frames.tobytes()).decode(),
+            "shape": list(frames.shape)})
+        assert code == 200
+        caps = body["narrations"]
+        assert len(caps) == 2 and len(caps[0]) == 2
+        assert all(isinstance(c, str) for c in caps[0])
+        code, m = _get(url, "/metrics")
+        assert m["narrate"]["requests"] == 2
+    finally:
+        server.shutdown()
+        ns.close()
