@@ -112,11 +112,19 @@ class SelfAttention(nn.Module):
     causal: bool = False
     sequence_parallel: bool = False  # ring attention over the sp axis
 
-    @nn.compact
+    def setup(self):
+        self.qkv = nn.Dense(3 * self.width, dtype=self.dtype,
+                            param_dtype=jnp.float32, name="qkv")
+        self.out_proj = nn.Dense(self.width, dtype=self.dtype,
+                                 param_dtype=jnp.float32, name="out_proj")
+
     def __call__(self, x):
+        from avion_tpu.ops.attention import _on_tpu
+
+        if self.use_flash and not self.sequence_parallel and _on_tpu():
+            return self._call_flash_fused(x)
         w = self.width
-        qkv = nn.Dense(3 * w, dtype=self.dtype,
-                       param_dtype=jnp.float32, name="qkv")(x)
+        qkv = self.qkv(x)
         if self.sequence_parallel:
             # ring attention: tokens sharded over the "sp" mesh axis,
             # K/V blocks rotate on ICI (beyond-parity long-clip path)
@@ -132,21 +140,60 @@ class SelfAttention(nn.Module):
                 unpack(qkv[..., 2 * w :]))
             o = o.reshape(b, s, w)
             o = jax.ad_checkpoint.checkpoint_name(o, "attn_out")
-            return nn.Dense(self.width, dtype=self.dtype,
-                            param_dtype=jnp.float32, name="out_proj")(o)
+            return self.out_proj(o)
         # the fused projection's output lanes are [q_all | k_all | v_all]
         # (same layout the 5D reshape would give) — contiguous lane
         # slices, zero transposes on the way into the packed flash kernel
         o = attention_packed(
             qkv[..., :w], qkv[..., w : 2 * w], qkv[..., 2 * w :],
             self.heads, causal=self.causal, use_flash=self.use_flash)
+        o = jax.ad_checkpoint.checkpoint_name(o, "attn_out")
+        return self.out_proj(o)
+
+    def _call_flash_fused(self, x):
+        """TPU fast path: zero-pad the token dim ONCE before the qkv
+        projection, then hand the kernels three views of its output —
+        removes the per-call q/k/v lane-slice + re-pad data movement
+        (~10 ms/layer at ViT-B b224, measured via profiler trace).
+        Pad rows of the projection are bias values (finite), which the
+        kernels' score bias masks; grad pad rows meet the zero-padded
+        input rows in the dense VJP, so nothing leaks."""
+        from avion_tpu.ops.attention import attention_fused_qkv
+
+        s = x.shape[1]
+        s_pad = (s + 127) // 128 * 128
+        if s_pad != s:
+            x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+        qkv = self.qkv(x)
+        o = attention_fused_qkv(qkv, self.heads, s, causal=self.causal)
         # named for selective remat: policy "save_attn" keeps the
         # attention output (the flash kernel additionally names its own
         # out/lse residuals inside its fwd rule, so the rematerialized
         # backward never re-runs the forward kernel)
         o = jax.ad_checkpoint.checkpoint_name(o, "attn_out")
-        return nn.Dense(self.width, dtype=self.dtype,
-                        param_dtype=jnp.float32, name="out_proj")(o)
+        return self.out_proj(o)
+
+    def decode_step(self, x1, pos, k_cache, v_cache):
+        """KV-cached single-token causal attention (autoregressive
+        decoding — ``gpt2_gated.py`` has the same construction for the
+        LaViLa decoder).  ``x1``: [B, 1, W]; caches [B, L, W]."""
+        w, h = self.width, self.heads
+        d = w // h
+        b = x1.shape[0]
+        qkv = self.qkv(x1)
+        q = qkv[..., :w].astype(jnp.float32).reshape(b, h, d)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, qkv[..., w : 2 * w].astype(k_cache.dtype), (0, pos, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, qkv[..., 2 * w :].astype(v_cache.dtype), (0, pos, 0))
+        length = k_cache.shape[1]
+        k = k_cache.astype(jnp.float32).reshape(b, length, h, d)
+        v = v_cache.astype(jnp.float32).reshape(b, length, h, d)
+        s = jnp.einsum("bhd,blhd->bhl", q, k) / (d ** 0.5)
+        s = jnp.where(jnp.arange(length)[None, None] <= pos, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhl,blhd->bhd", p, v).reshape(b, 1, w)
+        return self.out_proj(o.astype(self.dtype)), k_cache, v_cache
 
 
 class Block(nn.Module):

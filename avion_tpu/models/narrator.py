@@ -11,7 +11,9 @@ Generates pseudo-narrations for unlabeled clips via nucleus sampling.
 Differences by design (not a port): the visual tower is this repo's
 ``VisionTransformer`` (fast patchify + flash attention) rather than
 TimeSformer; generation is a jit-compiled ``lax.scan`` over a static
-max length with per-step top-p filtering — no Python-loop decoding.
+max length with per-step top-p filtering — no Python-loop decoding —
+and runs KV-cached single-token decode by default (same construction
+as the LaViLa GPT-2 path, ``gpt2_gated.py``).
 """
 
 from __future__ import annotations
@@ -34,25 +36,37 @@ class CrossAttention(nn.Module):
     heads: int
     dtype: Any = jnp.bfloat16
 
-    @nn.compact
-    def __call__(self, x, visual):
-        b, s, _ = x.shape
-        sv = visual.shape[1]
+    def setup(self):
+        self.q = nn.Dense(self.width, dtype=self.dtype,
+                          param_dtype=jnp.float32, name="q")
+        self.kv_proj = nn.Dense(2 * self.width, dtype=self.dtype,
+                                param_dtype=jnp.float32, name="kv")
+        self.out_proj = nn.Dense(self.width, dtype=self.dtype,
+                                 param_dtype=jnp.float32, name="out_proj")
+
+    def kv(self, visual):
+        """Visual-token k/v — constant per clip; cached generation
+        computes them exactly once."""
+        b, sv, _ = visual.shape
         d = self.width // self.heads
-        q = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="q")(x)
-        kv = nn.Dense(2 * self.width, dtype=self.dtype,
-                      param_dtype=jnp.float32, name="kv")(visual)
+        kv = self.kv_proj(visual)
         k, v = jnp.split(kv, 2, axis=-1)
-        q = q.reshape(b, s, self.heads, d)
-        k = k.reshape(b, sv, self.heads, d)
-        v = v.reshape(b, sv, self.heads, d)
+        return (k.reshape(b, sv, self.heads, d),
+                v.reshape(b, sv, self.heads, d))
+
+    def attend(self, x, k, v):
+        b, s, _ = x.shape
+        d = self.width // self.heads
+        q = self.q(x).reshape(b, s, self.heads, d)
         from avion_tpu.ops.attention import xla_attention
 
         o = xla_attention(q, k, v)  # visual set is short; XLA is optimal
         o = o.reshape(b, s, self.width)
-        return nn.Dense(self.width, dtype=self.dtype,
-                        param_dtype=jnp.float32, name="out_proj")(o)
+        return self.out_proj(o)
+
+    def __call__(self, x, visual):
+        k, v = self.kv(visual)
+        return self.attend(x, k, v)
 
 
 class GatedDecoderBlock(nn.Module):
@@ -65,27 +79,52 @@ class GatedDecoderBlock(nn.Module):
     use_flash: bool = True
     cross_attend: bool = True
 
-    @nn.compact
+    def setup(self):
+        self.ln_1 = LayerNorm(dtype=self.dtype, name="ln_1")
+        self.attn = SelfAttention(self.width, self.heads, self.dtype,
+                                  self.use_flash, causal=True, name="attn")
+        if self.cross_attend:
+            self.attn_gate = self.param("attn_gate", nn.initializers.zeros,
+                                        (), jnp.float32)
+            self.ln_x = LayerNorm(dtype=self.dtype, name="ln_x")
+            self.xattn = CrossAttention(self.width, self.heads, self.dtype,
+                                        name="xattn")
+            self.mlp_gate = self.param("mlp_gate", nn.initializers.zeros,
+                                       (), jnp.float32)
+            self.ln_xm = LayerNorm(dtype=self.dtype, name="ln_xm")
+            self.xmlp = Mlp(self.width, 4.0, nn.gelu, self.dtype,
+                            name="xmlp")
+        self.ln_2 = LayerNorm(dtype=self.dtype, name="ln_2")
+        self.mlp = Mlp(self.width, 4.0, nn.gelu, self.dtype, name="mlp")
+
+    def _cross(self, x, attend):
+        y = self.ln_x(x)
+        y = attend(y)
+        x = x + jnp.tanh(self.attn_gate).astype(x.dtype) * y
+        y = self.ln_xm(x)
+        y = self.xmlp(y)
+        return x + jnp.tanh(self.mlp_gate).astype(x.dtype) * y
+
     def __call__(self, x, visual):
-        y = LayerNorm(dtype=self.dtype, name="ln_1")(x)
-        y = SelfAttention(self.width, self.heads, self.dtype,
-                          self.use_flash, causal=True, name="attn")(y)
+        y = self.ln_1(x)
+        y = self.attn(y)
         x = x + y
         if self.cross_attend:
-            g_attn = self.param("attn_gate", nn.initializers.zeros, (),
-                                jnp.float32)
-            y = LayerNorm(dtype=self.dtype, name="ln_x")(x)
-            y = CrossAttention(self.width, self.heads, self.dtype,
-                               name="xattn")(y, visual)
-            x = x + jnp.tanh(g_attn).astype(x.dtype) * y
-            g_mlp = self.param("mlp_gate", nn.initializers.zeros, (),
-                               jnp.float32)
-            y = LayerNorm(dtype=self.dtype, name="ln_xm")(x)
-            y = Mlp(self.width, 4.0, nn.gelu, self.dtype, name="xmlp")(y)
-            x = x + jnp.tanh(g_mlp).astype(x.dtype) * y
-        y = LayerNorm(dtype=self.dtype, name="ln_2")(x)
-        y = Mlp(self.width, 4.0, nn.gelu, self.dtype, name="mlp")(y)
+            x = self._cross(x, lambda y: self.xattn(y, visual))
+        y = self.ln_2(x)
+        y = self.mlp(y)
         return x + y
+
+    def cross_kv(self, visual):
+        return self.xattn.kv(visual) if self.cross_attend else None
+
+    def decode_step(self, x1, pos, kv_self, ckv):
+        o, kc, vc = self.attn.decode_step(self.ln_1(x1), pos, *kv_self)
+        x1 = x1 + o
+        if self.cross_attend and ckv is not None:
+            x1 = self._cross(x1, lambda y: self.xattn.attend(y, *ckv))
+        x1 = x1 + self.mlp(self.ln_2(x1))
+        return x1, (kc, vc)
 
 
 class VCLM(nn.Module):
@@ -151,6 +190,28 @@ class VCLM(nn.Module):
     def __call__(self, video, tokens):
         return self.decode(tokens, self.encode_video(video))
 
+    # -- KV-cached decoding ---------------------------------------------
+
+    def precompute_cross(self, visual):
+        """Per-block cross-attention (k, v) (None for non-cross blocks)."""
+        return tuple(blk.cross_kv(visual) for blk in self.blocks)
+
+    def decode_one(self, tok, pos, kv, cross):
+        """One cached decode step: ``tok`` [B, 1] at position ``pos``;
+        ``kv`` per-layer (k, v) caches; ``cross`` from
+        ``precompute_cross``.  Returns (logits [B, vocab], kv')."""
+        x = self.token_embedding(tok).astype(self.dtype)
+        pe = jax.lax.dynamic_slice(self.positional_embedding, (pos, 0),
+                                   (1, self.width))
+        x = x + pe[None].astype(self.dtype)
+        new_kv = []
+        for blk, kvi, ci in zip(self.blocks, kv, cross):
+            x, kvi = blk.decode_step(x, pos, kvi, ci)
+            new_kv.append(kvi)
+        x = self.ln_f(x)
+        logits = x[:, 0].astype(jnp.float32) @ self.token_embedding.embedding.T
+        return logits, tuple(new_kv)
+
 
 def caption_loss(logits, tokens, pad_id: int = 0):
     """Shifted next-token CE ignoring padding (narrator training)."""
@@ -179,17 +240,45 @@ def nucleus_sample_step(key, logits, top_p: float = 0.95,
 
 def make_generator(model: VCLM, *, max_len: int = 30, top_p: float = 0.95,
                    temperature: float = 0.7, sot: int = 49406,
-                   eot: int = 49407):
+                   eot: int = 49407, use_cache: bool = True):
     """Returns a jittable ``generate(params, video, key) -> tokens
-    [B, max_len]`` running a lax.scan over decode steps (full-prefix
-    re-decode per step: ViT-short captions make a KV cache unnecessary
-    at these lengths)."""
+    [B, max_len]`` running a lax.scan over decode steps.  With
+    ``use_cache`` (default) each step is a KV-cached single-token
+    decode; ``use_cache=False`` keeps the full-prefix re-decode
+    (same sampled outputs — the RNG stream is step-aligned)."""
 
     def generate(params, video, key):
         b = video.shape[0]
         visual = model.apply({"params": params}, video,
                              method=model.encode_video)
         tokens = jnp.full((b, max_len), 0, jnp.int32).at[:, 0].set(sot)
+
+        if use_cache:
+            from avion_tpu.models.gpt2_gated import make_decode_cache
+
+            cross = model.apply({"params": params}, visual,
+                                method=model.precompute_cross)
+            kv = make_decode_cache(model.layers, b, max_len, model.width,
+                                   model.dtype)
+
+            def step(carry, i):
+                tokens, key, done, kv = carry
+                tok = jax.lax.dynamic_slice(tokens, (0, i - 1), (b, 1))
+                step_logits, kv = model.apply(
+                    {"params": params}, tok, i - 1, kv, cross,
+                    method=model.decode_one)
+                key, sub = jax.random.split(key)
+                nxt = nucleus_sample_step(sub, step_logits, top_p,
+                                          temperature)
+                nxt = jnp.where(done, 0, nxt)
+                tokens = tokens.at[:, i].set(nxt)
+                done = jnp.logical_or(done, nxt == eot)
+                return (tokens, key, done, kv), None
+
+            (tokens, _, _, _), _ = jax.lax.scan(
+                step, (tokens, key, jnp.zeros((b,), bool), kv),
+                jnp.arange(1, max_len))
+            return tokens
 
         def step(carry, i):
             tokens, key, done = carry

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from avion_tpu.ops.flash_attention import (flash_attention,
+                                            flash_attention_fused_qkv,
                                             flash_attention_packed)
 
 
@@ -82,3 +83,27 @@ def attention_packed(
     out = xla_attention(unpack(q), unpack(k), unpack(v), causal=causal,
                         sm_scale=sm_scale)
     return out.reshape(b, s, w)
+
+
+def attention_fused_qkv(
+    qkv: jax.Array,
+    heads: int,
+    s: int,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    use_flash: bool = True,
+) -> jax.Array:
+    """Attention straight off a fused qkv projection [B, S_pad, 3*H*D]
+    whose rows beyond ``s`` are padding (finite values).  On TPU the
+    flash kernels read the q/k/v lane sections as views — no slice/pad
+    ops ever materialize.  Returns [B, s, H*D]."""
+    if use_flash and _on_tpu():
+        return flash_attention_fused_qkv(qkv, heads, s, causal=causal,
+                                         sm_scale=sm_scale)
+    w = qkv.shape[-1] // 3
+    q = qkv[:, :s, :w]
+    k = qkv[:, :s, w : 2 * w]
+    v = qkv[:, :s, 2 * w :]
+    return attention_packed(q, k, v, heads, causal=causal,
+                            sm_scale=sm_scale, use_flash=False)

@@ -214,7 +214,11 @@ def _fwd(q, k, v, heads, sm_scale, causal, block_q, interpret,
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, out_ref, lse_ref, bias_ref,
-                   dq_ref, *, sm_scale, causal, block_q, d, hpp):
+                   dq_ref, *, sm_scale, causal, block_q, d, hpp,
+                   valid=None):
+    # valid: real q-row count — rows beyond it are zeroed on write (the
+    # fused-qkv path feeds padded-but-garbage q rows whose score tiles
+    # can overflow exp2; their grads must be exactly 0, not inf*0)
     qi = pl.program_id(2)
     s_pad = k_ref.shape[0]
     if causal:
@@ -252,12 +256,18 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, out_ref, lse_ref, bias_ref,
             preferred_element_type=jnp.float32,
         ) * sm_scale
         dqs.append(dq.astype(dq_ref.dtype))
-    dq_ref[:] = dqs[0] if hpp == 1 else jnp.concatenate(dqs, axis=-1)
+    dq = dqs[0] if hpp == 1 else jnp.concatenate(dqs, axis=-1)
+    if valid is not None:
+        rows = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, 1), 0)
+        dq = jnp.where(rows < valid, dq, 0)
+    dq_ref[:] = dq
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     bias_ref, dk_ref, dv_ref, *, sm_scale, causal, block_k,
-                    d, hpp):
+                    d, hpp, valid=None):
+    # valid: real k-row count; see _bwd_dq_kernel
     ki = pl.program_id(2)
     s_pad_q = q_ref.shape[0]
     if causal:
@@ -297,8 +307,15 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             preferred_element_type=jnp.float32,
         ) * sm_scale
         dks.append(dk.astype(dk_ref.dtype))
-    dk_ref[:] = dks[0] if hpp == 1 else jnp.concatenate(dks, axis=-1)
-    dv_ref[:] = dvs[0] if hpp == 1 else jnp.concatenate(dvs, axis=-1)
+    dk = dks[0] if hpp == 1 else jnp.concatenate(dks, axis=-1)
+    dv = dvs[0] if hpp == 1 else jnp.concatenate(dvs, axis=-1)
+    if valid is not None:
+        rows = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_k, 1), 0)
+        dk = jnp.where(rows < valid, dk, 0)
+        dv = jnp.where(rows < valid, dv, 0)
+    dk_ref[:] = dk
+    dv_ref[:] = dv
 
 
 def _bwd(heads, sm_scale, causal, block_q, interpret, res, g):
@@ -453,3 +470,207 @@ def flash_attention_packed(
         sm_scale = 1.0 / math.sqrt(q.shape[-1] // heads)
     return _flash_packed(q, k, v, heads, sm_scale, causal, block_q,
                          interpret)
+
+
+# ---------------------------------------------------------------------------
+# zero-copy fused-qkv entry: the kernels read q/k/v as three
+# index-mapped VIEWS of one [B, S_pad, 3W] array
+# ---------------------------------------------------------------------------
+
+
+def _fused_block_q(s_pad: int, hpp: int) -> int:
+    """Largest 128-multiple block that DIVIDES s_pad (the fused path
+    never over-pads the q dim, so blocks must tile it exactly) and fits
+    the VMEM score-tile budget."""
+    cap = _auto_block_q(s_pad, hpp)
+    if s_pad <= cap:
+        return s_pad
+    for m in range(cap // 128, 0, -1):
+        if s_pad % (m * 128) == 0:
+            return m * 128
+    return 128
+
+
+def _fused_specs(s_pad: int, block_q: int, stripe: int, nhb: int):
+    """BlockSpecs that read the q/k/v lane sections of a single fused
+    [B, S_pad, 3*W] array (lane-block offsets 0 / nhb / 2*nhb, where
+    nhb = heads//hpp is the per-section block count)."""
+    return [
+        pl.BlockSpec((None, block_q, stripe), lambda b, h, i: (b, i, h)),
+        pl.BlockSpec((None, s_pad, stripe),
+                     lambda b, h, i: (b, 0, h + nhb)),
+        pl.BlockSpec((None, s_pad, stripe),
+                     lambda b, h, i: (b, 0, h + 2 * nhb)),
+        pl.BlockSpec((8, s_pad), lambda b, h, i: (0, 0)),
+    ]
+
+
+def _fwd_fused(qkv, heads, s, sm_scale, causal, block_q, interpret,
+               need_lse=True):
+    """qkv: [B, S_pad, 3W] fused projection output, S-padded to a
+    128-multiple with FINITE rows (zeros or bias values — padded key
+    columns are masked via the score bias, padded value rows see zero
+    attention weight, so pad contents never reach the output).
+    Returns (out [B, s, W], lse | None)."""
+    b, s_pad, w3 = qkv.shape
+    w = w3 // 3
+    d = w // heads
+    hpp = _heads_per_program(heads, d)
+    stripe = hpp * d
+    nhb = heads // hpp
+    if block_q is None:
+        block_q = _fused_block_q(s_pad, hpp)
+    assert s_pad % 128 == 0 and s_pad % block_q == 0, (s_pad, block_q)
+    bias = _key_bias(s, s_pad)
+    grid = (b, nhb, s_pad // block_q)
+    kw = dict(sm_scale=sm_scale, causal=causal, block_q=block_q, d=d,
+              hpp=hpp)
+    in_specs = _fused_specs(s_pad, block_q, stripe, nhb)
+    o_spec = pl.BlockSpec((None, block_q, stripe), lambda b, h, i: (b, i, h))
+
+    # out_shape uses the REAL s: the final q block's out-of-range rows
+    # are a masked write (same mechanism as the unpadded inference q
+    # path of _fwd), so no slice op ever materializes
+    if not need_lse:
+        out = pl.pallas_call(
+            functools.partial(_fwd_infer_kernel, **kw),
+            grid=grid, in_specs=in_specs, out_specs=o_spec,
+            out_shape=jax.ShapeDtypeStruct((b, s, w), qkv.dtype),
+            interpret=interpret,
+        )(qkv, qkv, qkv, bias)
+        return out, None
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, **kw),
+        grid=grid, in_specs=in_specs,
+        out_specs=[
+            o_spec,
+            pl.BlockSpec((None, None, hpp, block_q),
+                         lambda b, h, i: (b, h, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, w), qkv.dtype),
+            jax.ShapeDtypeStruct((b, nhb, hpp, s_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qkv, qkv, qkv, bias)
+    return out, lse
+
+
+def _bwd_fused_views(heads, s, sm_scale, causal, block_q, interpret, res,
+                     g):
+    """Backward over the fused layout: one dqkv [B, S_pad, 3W] gradient
+    (pad rows are zero for the dq section and harmless garbage for
+    dk/dv — they meet the zero pad rows of the projection input in the
+    dense VJP, so nothing leaks)."""
+    qkv, out, lse = res
+    b, s_pad, w3 = qkv.shape
+    w = w3 // 3
+    d = w // heads
+    hpp = _heads_per_program(heads, d)
+    stripe = hpp * d
+    nhb = heads // hpp
+    if block_q is None:
+        block_q = _fused_block_q(s_pad, hpp)
+    block_k = block_q
+    dop = jnp.pad(g, ((0, 0), (0, s_pad - s), (0, 0)))
+    outp = jnp.pad(out, ((0, 0), (0, s_pad - s), (0, 0)))
+    delta = (g.astype(jnp.float32) * out.astype(jnp.float32)).reshape(
+        b, s, heads, d).sum(axis=-1).transpose(0, 2, 1)
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, s_pad - s))).reshape(
+        b, nhb, hpp, s_pad)
+    bias = _key_bias(s, s_pad)
+
+    kw = dict(sm_scale=sm_scale, causal=causal, d=d, hpp=hpp)
+    qv, kv_, vv, _ = _fused_specs(s_pad, block_q, stripe, nhb)
+    full_q = pl.BlockSpec((None, s_pad, stripe),
+                          lambda b, h, i: (b, 0, h))
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, block_q=block_q, valid=s, **kw),
+        grid=(b, nhb, s_pad // block_q),
+        in_specs=[
+            qv, kv_, vv,
+            pl.BlockSpec((None, block_q, stripe), lambda b, h, i: (b, i, h)),
+            pl.BlockSpec((None, block_q, stripe), lambda b, h, i: (b, i, h)),
+            pl.BlockSpec((None, None, hpp, block_q),
+                         lambda b, h, i: (b, h, 0, i)),
+            pl.BlockSpec((8, s_pad), lambda b, h, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, stripe),
+                               lambda b, h, i: (b, i, h)),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, w), qkv.dtype),
+        interpret=interpret,
+    )(qkv, qkv, qkv, dop, outp, lse, bias)
+
+    kblk = pl.BlockSpec((None, block_k, stripe),
+                        lambda b, h, i: (b, i, h + nhb))
+    vblk = pl.BlockSpec((None, block_k, stripe),
+                        lambda b, h, i: (b, i, h + 2 * nhb))
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, block_k=block_k, valid=s, **kw),
+        grid=(b, nhb, s_pad // block_k),
+        in_specs=[
+            full_q, kblk, vblk,
+            pl.BlockSpec((None, s_pad, stripe), lambda b, h, i: (b, 0, h)),
+            pl.BlockSpec((None, None, hpp, s_pad),
+                         lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, hpp, s_pad),
+                         lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((8, s_pad), lambda b, h, i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_k, stripe), lambda b, h, i: (b, i, h)),
+            pl.BlockSpec((None, block_k, stripe), lambda b, h, i: (b, i, h)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s_pad, w), qkv.dtype),
+            jax.ShapeDtypeStruct((b, s_pad, w), qkv.dtype),
+        ],
+        interpret=interpret,
+    )(qkv, qkv, qkv, dop, lse, delta, bias)
+    return (jnp.concatenate([dq, dk, dv], axis=-1),)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
+def _flash_fused(qkv, heads, s, sm_scale, causal, block_q, interpret):
+    out, _ = _fwd_fused(qkv, heads, s, sm_scale, causal, block_q,
+                        interpret, need_lse=False)
+    return out
+
+
+def _flash_fused_fwd_rule(qkv, heads, s, sm_scale, causal, block_q,
+                          interpret):
+    from jax.ad_checkpoint import checkpoint_name
+
+    out, lse = _fwd_fused(qkv, heads, s, sm_scale, causal, block_q,
+                          interpret)
+    out = checkpoint_name(out, "attn_out")
+    lse = checkpoint_name(lse, "attn_lse")
+    return out, (qkv, out, lse)
+
+
+_flash_fused.defvjp(_flash_fused_fwd_rule, _bwd_fused_views)
+
+
+def flash_attention_fused_qkv(
+    qkv: jax.Array,
+    heads: int,
+    s: int,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    block_q: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention straight off the fused qkv projection output.
+
+    ``qkv``: [B, S_pad, 3*H*D] with S_pad a multiple of 128 and
+    ``s <= S_pad`` real rows; the pad rows only need to be FINITE (the
+    projection of a zero-padded input — i.e. bias rows — qualifies).
+    The kernels read the three lane sections through index-mapped views
+    of this one array, eliminating the per-call q/k/v slice + re-pad
+    data movement of the packed entry (~10 ms/layer at ViT-B b224).
+    Returns [B, s, H*D]."""
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt((qkv.shape[-1] // 3) // heads)
+    return _flash_fused(qkv, heads, s, sm_scale, causal, block_q,
+                        interpret)

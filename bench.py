@@ -133,6 +133,34 @@ def selfcheck():
         print(f"selfcheck ok: b={b} s={s} h={h} causal={causal}",
               file=sys.stderr)
 
+    # fused-qkv entry (the train step's actual path): on-chip parity
+    # vs the packed entry, fwd + grads, including pad-row zeroing
+    from avion_tpu.ops.flash_attention import flash_attention_fused_qkv
+
+    b, s, h, d = 4, 785, 12, 64
+    w = h * d
+    s_pad = (s + 127) // 128 * 128
+    qkv = jax.random.normal(ks[0], (b, s_pad, 3 * w), jnp.bfloat16)
+
+    def loss_f(qkv):
+        o = flash_attention_fused_qkv(qkv, h, s)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_r(qkv):
+        unpack = lambda t: t.reshape(b, s, h, d)
+        o = xla_attention(unpack(qkv[:, :s, :w].astype(jnp.float32)),
+                          unpack(qkv[:, :s, w : 2 * w].astype(jnp.float32)),
+                          unpack(qkv[:, :s, 2 * w :].astype(jnp.float32)))
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    g1 = jax.jit(jax.grad(loss_f))(qkv)
+    g2 = jax.jit(jax.grad(loss_r))(qkv)
+    tol = 3e-2 * max(1.0, float(np.abs(np.asarray(g2[:, :s])).max()))
+    assert np.abs(np.asarray(g1[:, :s], np.float32)
+                  - np.asarray(g2[:, :s])).max() < tol
+    assert float(np.abs(np.asarray(g1[:, s:], np.float32)).max()) == 0.0
+    print("selfcheck ok: fused-qkv entry", file=sys.stderr)
+
 
 def main():
     if "--selfcheck" in sys.argv:

@@ -102,3 +102,106 @@ def test_odd_heads_and_small_head_dim(rng):
         out = flash_attention(q, k, v, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# fused-qkv (zero-copy views) entry
+# ---------------------------------------------------------------------------
+
+
+def _mk_fused(rng, b=2, s=200, h=2, d=64, dtype=jnp.float32, pad_mode="zero"):
+    """Build a fused [B, S_pad, 3W] array + the unpacked reference
+    views.  pad_mode="garbage" fills pad rows with large finite values
+    (the bias-row case the kernels must mask)."""
+    k1 = jax.random.split(rng, 1)[0]
+    w = h * d
+    s_pad = (s + 127) // 128 * 128
+    qkv = jax.random.normal(k1, (b, s, 3 * w), dtype)
+    if pad_mode == "zero":
+        pad = jnp.zeros((b, s_pad - s, 3 * w), dtype)
+    else:
+        pad = jnp.full((b, s_pad - s, 3 * w), 37.5, dtype)
+    qkv_p = jnp.concatenate([qkv, pad], axis=1) if s_pad != s else qkv
+    unpack = lambda t: t.reshape(b, s, h, d)
+    q, k, v = (unpack(qkv[..., i * w : (i + 1) * w]) for i in range(3))
+    return qkv_p, q, k, v
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("seq,pad_mode", [(77, "zero"), (200, "garbage"),
+                                          (256, "zero"), (785, "garbage")])
+def test_fused_qkv_forward_matches_xla(rng, causal, seq, pad_mode):
+    from avion_tpu.ops.flash_attention import flash_attention_fused_qkv
+
+    qkv_p, q, k, v = _mk_fused(rng, s=seq, pad_mode=pad_mode)
+    ref = xla_attention(q, k, v, causal=causal)
+    out = flash_attention_fused_qkv(qkv_p, 2, seq, causal=causal,
+                                    interpret=True)
+    b, s, h, d = q.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref).reshape(
+        b, s, h * d), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("pad_mode", ["zero", "garbage"])
+def test_fused_qkv_grads_match_xla(rng, causal, pad_mode):
+    """d(qkv_p) through the fused kernels == autodiff through XLA
+    attention on the sliced sections; pad-row grads are exactly what
+    slicing implies (dq section zero; dk/dv sections may be nonzero
+    garbage that the zero rows of the projection input annihilate in
+    the dense VJP — here we compare only the real rows)."""
+    from avion_tpu.ops.flash_attention import flash_attention_fused_qkv
+
+    s, h, d = 150, 2, 64
+    qkv_p, *_ = _mk_fused(rng, b=1, s=s, h=h, d=d, pad_mode=pad_mode)
+    w = h * d
+
+    def loss_fused(qkv_p):
+        o = flash_attention_fused_qkv(qkv_p, h, s, causal=causal,
+                                      interpret=True)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_ref(qkv_p):
+        b = qkv_p.shape[0]
+        unpack = lambda t: t.reshape(b, s, h, d)
+        q = unpack(qkv_p[:, :s, :w])
+        k = unpack(qkv_p[:, :s, w : 2 * w])
+        v = unpack(qkv_p[:, :s, 2 * w :])
+        o = xla_attention(q, k, v, causal=causal)
+        return jnp.sum(o * jnp.cos(o))
+
+    g1 = jax.grad(loss_fused)(qkv_p)
+    g2 = jax.grad(loss_ref)(qkv_p)
+    np.testing.assert_allclose(np.asarray(g1[:, :s]),
+                               np.asarray(g2[:, :s]),
+                               atol=5e-4, rtol=5e-4)
+    # pad rows must be exactly zero (they feed the dense VJP, where
+    # inf/NaN times the zero input rows would poison dW)
+    np.testing.assert_array_equal(np.asarray(g1[:, s:]),
+                                  np.zeros_like(np.asarray(g1[:, s:])))
+    assert np.isfinite(np.asarray(g1)).all()
+
+
+def test_fused_qkv_videomae_decoder_shape(rng):
+    """s=1570 -> s_pad=1664=13*128 (prime block factor): exercises the
+    divisor-constrained multi-block path (block_q=128)."""
+    from avion_tpu.ops.flash_attention import (_fused_block_q,
+                                               flash_attention_fused_qkv)
+
+    assert _fused_block_q(1664, 2) == 128
+    s, h, d = 1570, 2, 64
+    qkv_p, q, k, v = _mk_fused(rng, b=1, s=s, h=h, d=d, pad_mode="garbage")
+    ref = xla_attention(q, k, v)
+    out = flash_attention_fused_qkv(qkv_p, h, s, interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(ref).reshape(1, s, h * d),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss_fused(qkv_p):
+        o = flash_attention_fused_qkv(qkv_p, h, s, interpret=True)
+        return jnp.sum(o ** 2)
+
+    g = jax.grad(loss_fused)(qkv_p)
+    assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_array_equal(np.asarray(g[:, s:]),
+                                  np.zeros_like(np.asarray(g[:, s:])))

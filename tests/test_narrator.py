@@ -175,3 +175,38 @@ def test_narrator_entry_end_to_end(tmp_path):
     ])
     logs = [json.loads(l) for l in open(osp.join(out, "log.jsonl"))]
     assert any("train/loss" in l for l in logs)
+
+
+def test_vclm_cached_decode_matches_full(tiny_vclm):
+    """decode_one (KV cache) reproduces decode() logits per position."""
+    from avion_tpu.models.gpt2_gated import make_decode_cache
+
+    model, params, video = tiny_vclm
+    rs = np.random.RandomState(3)
+    tokens = jnp.asarray(rs.randint(1, 64, (2, 7)), jnp.int32)
+    visual = model.apply({"params": params}, video,
+                         method=model.encode_video)
+    full = model.apply({"params": params}, tokens, visual,
+                       method=model.decode)
+    cross = model.apply({"params": params}, visual,
+                        method=model.precompute_cross)
+    kv = make_decode_cache(model.layers, 2, 7, model.width, jnp.float32)
+    outs = []
+    for i in range(7):
+        logit, kv = model.apply({"params": params}, tokens[:, i : i + 1],
+                                i, kv, cross, method=model.decode_one)
+        outs.append(np.asarray(logit))
+    np.testing.assert_allclose(np.stack(outs, 1), np.asarray(full),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_vclm_cached_generation_matches_uncached(tiny_vclm):
+    """Same RNG stream + f32 → cached and uncached generators sample
+    identical token sequences."""
+    model, params, video = tiny_vclm
+    key = jax.random.PRNGKey(11)
+    fast = jax.jit(make_generator(model, max_len=9, sot=62, eot=63,
+                                  use_cache=True))(params, video, key)
+    slow = jax.jit(make_generator(model, max_len=9, sot=62, eot=63,
+                                  use_cache=False))(params, video, key)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
