@@ -284,3 +284,23 @@ def test_narrate_endpoint(served):
     finally:
         server.shutdown()
         ns.close()
+
+
+def test_mesh_sharded_service(served):
+    """ClipService over the 8-device CPU mesh: encoders shard eval
+    batches over the data axes; results match the unmeshed service."""
+    from avion_tpu.parallel import make_mesh
+    from avion_tpu.serve.server import ClipService
+
+    _, plain, model, params = served
+    mesh = make_mesh(data=4, fsdp=2, tensor=1)
+    svc = ClipService(model, params, batch=8, max_wait_ms=0.5, mesh=mesh)
+    try:
+        texts = [f"caption number {i}" for i in range(5)]
+        a = np.stack([svc.text_batcher.submit(t).result(60)
+                      for t in texts])
+        b = np.stack([plain.text_batcher.submit(t).result(60)
+                      for t in texts])
+        np.testing.assert_allclose(a, b, atol=2e-3)
+    finally:
+        svc.close()
