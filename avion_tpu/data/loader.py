@@ -23,6 +23,13 @@ from avion_tpu.data.datasets import collate
 
 _WORKER_DATASET = None
 
+# arrays at least this large travel via POSIX shared memory instead of
+# the executor's pickle pipe (frame batches are ~100s of MB; pickling
+# them costs two extra memcpys, one of them in the MAIN process — the
+# serialization point when many workers feed one trainer).  torch's
+# DataLoader does the same via its shared-memory tensor allocator.
+_SHM_MIN_BYTES = 1 << 20
+
 
 def _worker_init(dataset):
     global _WORKER_DATASET
@@ -32,6 +39,65 @@ def _worker_init(dataset):
 def _worker_fetch(indices):
     items = [_WORKER_DATASET[int(i)] for i in indices]
     return collate(items)
+
+
+def _shm_export(batch):
+    """Move large arrays of a collated batch into shared-memory
+    segments; returns a descriptor dict safe to pickle.  Falls back to
+    plain arrays per-field if /dev/shm is unavailable/full."""
+    from multiprocessing import shared_memory
+
+    out = {}
+    for k, v in batch.items():
+        if not (isinstance(v, np.ndarray) and v.nbytes >= _SHM_MIN_BYTES):
+            out[k] = v
+            continue
+        try:
+            shm = shared_memory.SharedMemory(create=True, size=v.nbytes)
+        except OSError:
+            out[k] = v
+            continue
+        np.ndarray(v.shape, v.dtype, buffer=shm.buf)[...] = v
+        # the MAIN process owns the segment's lifetime (it unlinks on
+        # attach); stop this worker's resource_tracker from warning
+        # about it / unlinking it at worker exit
+        try:
+            from multiprocessing import resource_tracker
+
+            resource_tracker.unregister(shm._name, "shared_memory")
+        except Exception:
+            pass
+        out[k] = ("__shm__", shm.name, v.shape, str(v.dtype))
+        shm.close()
+    return out
+
+
+def _worker_fetch_shm(indices):
+    return _shm_export(_worker_fetch(indices))
+
+
+def _shm_attach(batch):
+    """Rebuild arrays from shm descriptors ZERO-COPY.  The segment is
+    unlinked immediately (POSIX keeps it alive while mapped, so a crash
+    can never leak /dev/shm entries) and unmapped when the array is
+    garbage collected."""
+    import weakref
+    from multiprocessing import shared_memory
+
+    out = {}
+    for k, v in batch.items():
+        if not (isinstance(v, tuple) and len(v) == 4 and v[0] == "__shm__"):
+            out[k] = v
+            continue
+        shm = shared_memory.SharedMemory(name=v[1])
+        arr = np.ndarray(v[2], np.dtype(v[3]), buffer=shm.buf)
+        try:
+            shm.unlink()
+        except FileNotFoundError:
+            pass
+        weakref.finalize(arr, shm.close)
+        out[k] = arr
+    return out
 
 
 class DataLoader:
@@ -64,6 +130,7 @@ class DataLoader:
         epoch: int = 0,
         infinite: bool = False,
         skip_batches: int = 0,
+        use_shm: bool = True,
         shard_across_hosts: Optional[bool] = None,
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
@@ -97,6 +164,7 @@ class DataLoader:
         # debug: skip the first N batches of the first epoch
         # (--skip-to-batch, main_lavila_pretrain.py:217-228)
         self.skip_batches = skip_batches
+        self.use_shm = use_shm
         self._pool = None
 
     def set_epoch(self, epoch: int):
@@ -157,6 +225,7 @@ class DataLoader:
                         initializer=_worker_init,
                         initargs=(self.dataset,),
                     )
+                fetch = _worker_fetch_shm if self.use_shm else _worker_fetch
                 pending = collections.deque()
                 gen = self._index_batches(epoch)
                 try:
@@ -164,12 +233,14 @@ class DataLoader:
                         idx = next(gen, None)
                         if idx is None:
                             break
-                        pending.append(self._pool.submit(_worker_fetch, idx))
+                        pending.append(self._pool.submit(fetch, idx))
                     while pending:
                         batch = pending.popleft().result()
+                        if self.use_shm:
+                            batch = _shm_attach(batch)
                         idx = next(gen, None)
                         if idx is not None:
-                            pending.append(self._pool.submit(_worker_fetch, idx))
+                            pending.append(self._pool.submit(fetch, idx))
                         yield batch
                 except GeneratorExit:
                     for f in pending:

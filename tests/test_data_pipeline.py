@@ -248,3 +248,50 @@ def test_loader_skip_batches(ego4d_root):
                               num_workers=0, skip_batches=2))
     assert len(skipped) == len(full) - 2
     np.testing.assert_array_equal(skipped[0]["video"], full[2]["video"])
+
+
+class _BigDataset:
+    """Module-level so forkserver workers can unpickle it."""
+
+    def __len__(self):
+        return 12
+
+    def __getitem__(self, i):
+        rs = np.random.RandomState(i)
+        return {
+            "video": rs.randint(0, 255, (8, 128, 128, 3), np.uint8),
+            "text": np.full((7,), i, np.int32),
+            "idx": np.int64(i),
+        }
+
+
+def test_loader_shm_transfer_matches_pickle(tmp_path):
+    """Shared-memory batch transfer: identical batches to the pickle
+    path and to synchronous loading; no /dev/shm segments leak."""
+    import gc
+    import glob
+
+    from avion_tpu.data.loader import _SHM_MIN_BYTES, DataLoader
+
+    ds = _BigDataset()
+    assert ds[0]["video"].nbytes * 4 >= _SHM_MIN_BYTES  # batch goes shm
+
+    def run(**kw):
+        dl = DataLoader(ds, 4, shuffle=False, num_workers=kw.pop("nw"),
+                        seed=3, **kw)
+        out = [{k: np.asarray(v).copy() for k, v in b.items()} for b in dl]
+        dl.close()
+        return out
+
+    before = len(glob.glob("/dev/shm/*"))
+    sync = run(nw=0)
+    shm = run(nw=2, use_shm=True)
+    pkl = run(nw=2, use_shm=False)
+    assert len(sync) == len(shm) == len(pkl) == 3
+    for a, b, c in zip(sync, shm, pkl):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+            np.testing.assert_array_equal(a[k], c[k])
+    gc.collect()
+    after = len(glob.glob("/dev/shm/*"))
+    assert after <= before, (before, after)
