@@ -71,6 +71,10 @@ class StepTimer:
         self.step_time = AverageMeter("step", ":6.3f")
         self.batch_time = AverageMeter("batch", ":6.3f")
         self._t0 = time.perf_counter()
+        # windowed accounting starts at construction; without this the
+        # FIRST mark_window had no start point and dropped its window
+        self._window_t0 = self._t0
+        self._window_data0 = 0.0
 
     def mark_data(self):
         now = time.perf_counter()
@@ -89,9 +93,9 @@ class StepTimer:
         accurate); the remaining window wall-time is attributed to device
         steps.  Keeps duty-cycle stats correct without per-step syncs."""
         now = time.perf_counter()
-        window = now - self._window_t0 if hasattr(self, "_window_t0") else 0.0
+        window = now - self._window_t0
         if n_steps > 0 and window > 0:
-            data = self.data_time.sum - getattr(self, "_window_data0", 0.0)
+            data = self.data_time.sum - self._window_data0
             per_step = max(window - data, 0.0) / n_steps
             for _ in range(n_steps):
                 self.step_time.update(per_step)

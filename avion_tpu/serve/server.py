@@ -23,7 +23,11 @@ Endpoints (JSON in/out):
 Start::
 
     python -m avion_tpu.serve model.name=CLIP_VITB16 \
-        pretrain_model=<ckpt.pt|orbax_dir> --port 8080
+        pretrain_model=<ckpt.pt|orbax_dir> --port 8080 \
+        [--mesh mesh.data=-1] [--narrator-checkpoint ckpt.pt]
+
+``--mesh`` shards encode batches over the device mesh (multi-chip
+serving); see docs/SERVING.md.
 """
 
 from __future__ import annotations
@@ -293,6 +297,9 @@ def main(argv=None):
         return default
 
     port = int(_flag("--port", "8080"))
+    use_mesh = "--mesh" in argv
+    if use_mesh:
+        argv.remove("--mesh")
     narrator_ckpt = _flag("--narrator-checkpoint")
     narrator_name = _flag("--narrator-model",
                           "VCLM_OPENAI_TIMESFORMER_LARGE_336PX_GPT2_XL")
@@ -314,7 +321,14 @@ def main(argv=None):
     params = load_pretrained_params(
         cfg.pretrain_model, template, num_frames=cfg.data.clip_length,
         context_length=model.context_length, vocab_size=model.vocab_size)
-    service = ClipService(model, params, batch=cfg.data.val_batch_size)
+    mesh = None
+    if use_mesh:
+        from avion_tpu.parallel.mesh import mesh_from_config
+
+        mesh = mesh_from_config(cfg.mesh)
+        print(f"serving over mesh {dict(mesh.shape)}")
+    service = ClipService(model, params, batch=cfg.data.val_batch_size,
+                          mesh=mesh)
     narrate = None
     if narrator_ckpt:
         from avion_tpu.models import create_model as _cm

@@ -94,3 +94,20 @@ def test_load_dotenv(tmp_path, monkeypatch):
     os.environ["MY_TEST_ROOT"] = "/keep"
     load_dotenv(str(envfile))
     assert os.environ["MY_TEST_ROOT"] == "/keep"
+
+
+def test_steptimer_first_window_counts():
+    """The first mark_window must produce step/batch samples (it used
+    to be silently dropped because the window start was unset)."""
+    import time
+
+    from avion_tpu.core.meters import StepTimer
+
+    t = StepTimer()
+    time.sleep(0.02)
+    t.data_time.update(0.005)
+    t.mark_window(2)
+    s = t.stats()
+    assert s["batch_time"] > 0
+    assert s["step_time"] > 0
+    assert 0 < s["duty_cycle"] <= 1.0
