@@ -120,5 +120,29 @@ def setup_host(base_seed: int = 0) -> int:
 
     pidx = init_distributed()
     install_preemption_handler()
+    enable_compile_cache()
     np.random.seed(seed_for_host(base_seed) % (2 ** 31))
     return pidx
+
+
+def enable_compile_cache(path: str = None) -> None:
+    """Persistent XLA compilation cache: restarts (auto-resume after
+    preemption, serving redeploys, repeated eval sweeps) skip the
+    20-40 s first-compile.  Default location ``~/.cache/avion_tpu_xla``;
+    override with ``AVION_COMPILE_CACHE`` (empty string disables)."""
+    import os
+
+    import jax
+
+    path = path if path is not None else os.environ.get(
+        "AVION_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "avion_tpu_xla"))
+    if not path:
+        return
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache everything that took meaningful compile time
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # noqa: BLE001 — cache is best-effort
+        print(f"[launch] compile cache disabled: {e}")
