@@ -243,8 +243,21 @@ class DataLoader:
                             pending.append(self._pool.submit(fetch, idx))
                         yield batch
                 except GeneratorExit:
+                    # completed futures may hold shm descriptors whose
+                    # segments only WE can reclaim (workers unregistered
+                    # them from their resource_tracker): attach + drop so
+                    # the unlink-on-attach path frees them; a plain
+                    # cancel() would leak /dev/shm (= host RAM) on every
+                    # early iterator exit
                     for f in pending:
-                        f.cancel()
+                        if f.cancel():
+                            continue
+                        try:
+                            b = f.result(timeout=120)
+                            if self.use_shm:
+                                _shm_attach(b)
+                        except Exception:
+                            pass
                     raise
             if not self.infinite:
                 return

@@ -78,22 +78,10 @@ class GPT2SelfAttention(nn.Module):
         """Single-token cached attention.  ``x1``: [B, 1, W]; ``pos``:
         scalar int32 position; caches: [B, L, W].  Returns
         (out [B, 1, W], k_cache', v_cache')."""
-        w, h = self.width, self.heads
-        d = w // h
-        b = x1.shape[0]
-        qkv = self.c_attn(x1)  # [B, 1, 3W]
-        q = qkv[..., :w].astype(jnp.float32).reshape(b, h, d)
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, qkv[..., w : 2 * w].astype(k_cache.dtype), (0, pos, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, qkv[..., 2 * w :].astype(v_cache.dtype), (0, pos, 0))
-        length = k_cache.shape[1]
-        k = k_cache.astype(jnp.float32).reshape(b, length, h, d)
-        v = v_cache.astype(jnp.float32).reshape(b, length, h, d)
-        s = jnp.einsum("bhd,blhd->bhl", q, k) / math.sqrt(d)
-        s = jnp.where(jnp.arange(length)[None, None] <= pos, s, -1e30)
-        p = jax.nn.softmax(s, axis=-1)
-        o = jnp.einsum("bhl,blhd->bhd", p, v).reshape(b, 1, w)
+        from avion_tpu.ops.attention import cached_decode_attention
+
+        o, k_cache, v_cache = cached_decode_attention(
+            self.c_attn(x1), pos, k_cache, v_cache, self.heads)
         return self.c_proj(o.astype(self.dtype)), k_cache, v_cache
 
 

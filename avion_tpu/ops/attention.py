@@ -85,6 +85,34 @@ def attention_packed(
     return out.reshape(b, s, w)
 
 
+def cached_decode_attention(qkv, pos, k_cache, v_cache, heads):
+    """KV-cached single-token causal attention shared by all
+    autoregressive decoders (``layers.SelfAttention`` and the LaViLa
+    ``gpt2_gated.GPT2SelfAttention``).
+
+    ``qkv``: [B, 1, 3W] fused projection of the current token;
+    caches: [B, L, W].  Returns (o [B, 1, W] f32, k_cache', v_cache').
+    Single-token attention is bandwidth-bound, so plain f32 einsum math
+    is the right tool (no kernel)."""
+    w3 = qkv.shape[-1]
+    w = w3 // 3
+    d = w // heads
+    b = qkv.shape[0]
+    q = qkv[..., :w].astype(jnp.float32).reshape(b, heads, d)
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache, qkv[..., w : 2 * w].astype(k_cache.dtype), (0, pos, 0))
+    v_cache = jax.lax.dynamic_update_slice(
+        v_cache, qkv[..., 2 * w :].astype(v_cache.dtype), (0, pos, 0))
+    length = k_cache.shape[1]
+    k = k_cache.astype(jnp.float32).reshape(b, length, heads, d)
+    v = v_cache.astype(jnp.float32).reshape(b, length, heads, d)
+    s = jnp.einsum("bhd,blhd->bhl", q, k) / math.sqrt(d)
+    s = jnp.where(jnp.arange(length)[None, None] <= pos, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhl,blhd->bhd", p, v).reshape(b, 1, w)
+    return o, k_cache, v_cache
+
+
 def attention_fused_qkv(
     qkv: jax.Array,
     heads: int,

@@ -19,16 +19,13 @@ import time
 import jax
 import jax.numpy as jnp
 
-V5E_PEAK_FLOPS = 197e12
+from avion_tpu.core.flops import V5E_PEAK_FLOPS, clip_fwd_flops
 
 
-def model_fwd_flops(clip_len=4, image=224, patch=14, vw=1024, vl=24,
-                    tw=768, tl=12, ctx=77):
-    s = clip_len * (image // patch) ** 2 + 1
-    patchify = 2 * (s - 1) * (patch * patch * 3) * vw
-    vis_block = 2 * s * vw * vw * 12 + 4 * s * s * vw
-    txt_block = 2 * ctx * tw * tw * 12 + 4 * ctx * ctx * tw
-    return patchify + vl * vis_block + tl * txt_block
+def model_fwd_flops():
+    """ViT-L/14 geometry through the shared helper."""
+    return clip_fwd_flops(clip_len=4, image=224, patch=14, vw=1024, vl=24,
+                          tw=768, tl=12, ctx=77)
 
 
 def bench(batch: int, warmup: int = 3, iters: int = 10):

@@ -26,17 +26,13 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_CLIPS_PER_SEC_PER_GPU = 42.7
-V5E_PEAK_FLOPS = 197e12
+
+from avion_tpu.core.flops import V5E_PEAK_FLOPS, clip_fwd_flops
 
 
-def model_fwd_flops(clip_len=4, image=224, patch=16, vw=768, vl=12,
-                    tw=512, tl=12, ctx=77):
-    """Analytic forward matmul FLOPs per clip for CLIP ViT-B/16."""
-    s = clip_len * (image // patch) ** 2 + 1
-    patchify = 2 * (s - 1) * (patch * patch * 3) * vw
-    vis_block = 2 * s * vw * vw * 12 + 4 * s * s * vw
-    txt_block = 2 * ctx * tw * tw * 12 + 4 * ctx * ctx * tw
-    return patchify + vl * vis_block + tl * txt_block
+def model_fwd_flops():
+    """ViT-B/16 forward matmul FLOPs per clip (shared helper)."""
+    return clip_fwd_flops()
 
 
 def build(batch):

@@ -295,3 +295,26 @@ def test_loader_shm_transfer_matches_pickle(tmp_path):
     gc.collect()
     after = len(glob.glob("/dev/shm/*"))
     assert after <= before, (before, after)
+
+
+def test_loader_shm_no_leak_on_early_exit():
+    """Breaking out of iteration mid-epoch must reclaim shm segments
+    held by already-prefetched batches (the workers unregister them
+    from their resource_tracker, so only the main process can)."""
+    import gc
+    import glob
+
+    from avion_tpu.data.loader import DataLoader
+
+    before = set(glob.glob("/dev/shm/psm_*")) | set(glob.glob("/dev/shm/*"))
+    dl = DataLoader(_BigDataset(), 4, shuffle=False, num_workers=2,
+                    use_shm=True, prefetch_depth=3)
+    it = iter(dl)
+    next(it)  # prefetch queue now holds completed shm batches
+    it.close()  # GeneratorExit path
+    dl.close()
+    gc.collect()
+    import time
+    time.sleep(0.2)
+    after = set(glob.glob("/dev/shm/*"))
+    assert not (after - before), (after - before)

@@ -12,25 +12,25 @@ from avion_tpu.parallel import make_mesh, shard_params
 def test_dispatch_masks_exact_routing():
     rng = jax.random.PRNGKey(0)
     t, e, cap = 16, 4, 16  # capacity ample: nothing dropped
-    logits = jax.random.normal(rng, (t, e))
+    logits = jax.random.normal(rng, (1, t, e))  # one routing group
     dispatch, combine, aux = moe_dispatch_masks(logits, top_k=2,
                                                 capacity=cap)
-    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jax.nn.softmax(logits[0], axis=-1)
     vals, idx = jax.lax.top_k(probs, 2)
     vals = vals / vals.sum(-1, keepdims=True)
     # each token occupies exactly one slot in each of its 2 experts
-    occ = np.asarray(dispatch.sum(axis=2))  # [T, E]
+    occ = np.asarray(dispatch[0].sum(axis=2))  # [T, E]
     for ti in range(t):
         chosen = set(np.asarray(idx[ti]).tolist())
         for ei in range(e):
             assert occ[ti, ei] == (1.0 if ei in chosen else 0.0)
     # combine weights equal the renormalized gates
-    cw = np.asarray(combine.sum(axis=2))
+    cw = np.asarray(combine[0].sum(axis=2))
     for ti in range(t):
         for s in range(2):
             assert abs(cw[ti, int(idx[ti, s])] - float(vals[ti, s])) < 1e-6
     # no slot is double-booked
-    per_slot = np.asarray(dispatch.sum(axis=0))  # [E, C]
+    per_slot = np.asarray(dispatch[0].sum(axis=0))  # [E, C]
     assert per_slot.max() <= 1.0
     assert np.isfinite(float(aux))
 
@@ -38,12 +38,40 @@ def test_dispatch_masks_exact_routing():
 def test_dispatch_capacity_drops_overflow():
     # all tokens route to expert 0 -> only `cap` survive
     logits = jnp.stack([jnp.full((12,), 10.0), jnp.zeros(12), jnp.zeros(12),
-                        jnp.zeros(12)], axis=1)
+                        jnp.zeros(12)], axis=1)[None]
     dispatch, combine, _ = moe_dispatch_masks(logits, top_k=1, capacity=4)
-    assert float(dispatch[:, 0].sum()) == 4.0
-    assert float(dispatch[:, 1:].sum()) == 0.0
+    assert float(dispatch[0, :, 0].sum()) == 4.0
+    assert float(dispatch[0, :, 1:].sum()) == 0.0
     # dropped tokens have zero combine weight everywhere
     assert float(combine.sum()) <= 4.0 + 1e-6
+
+
+def test_capacity_scales_with_top_k_and_group():
+    from avion_tpu.ops.moe import _capacity
+
+    # uniform top-2 routing fills 2*g/e slots; cf=1.25 adds headroom
+    assert _capacity(256, 8, 2, 1.25) == 80  # 256*2*1.25/8
+    assert _capacity(256, 8, 1, 1.25) == 40
+    # mask memory is LINEAR in token count: [G, g, E, C] with fixed g
+    g, e, cf, k = 256, 8, 1.25, 2
+    per_token_slots = e * _capacity(g, e, k, cf) / g
+    assert per_token_slots == 2.5  # independent of total T
+
+
+def test_moe_mlp_grouped_matches_ungrouped():
+    """With ample capacity, routing is per-token, so group size must
+    not change the output (padding tail group included: 16 tokens into
+    groups of 5)."""
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 32))
+    big = MoEMlp(width=32, experts=4, hidden_mult=2.0, top_k=2,
+                 capacity_factor=8.0, group_size=256, dtype=jnp.float32)
+    params = big.init(jax.random.PRNGKey(0), x)["params"]
+    y_big = big.apply({"params": params}, x)
+    small = MoEMlp(width=32, experts=4, hidden_mult=2.0, top_k=2,
+                   capacity_factor=8.0, group_size=5, dtype=jnp.float32)
+    y_small = small.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(y_big), np.asarray(y_small),
+                               atol=1e-5, rtol=1e-5)
 
 
 def test_moe_mlp_matches_per_token_reference():
