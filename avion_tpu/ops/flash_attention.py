@@ -267,9 +267,18 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, out_ref, lse_ref, bias_ref,
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     bias_ref, dk_ref, dv_ref, *, sm_scale, causal, block_k,
                     d, hpp, valid=None):
-    # valid: real k-row count; see _bwd_dq_kernel
+    # valid: real k-row count; see _bwd_dq_kernel.  With valid set, the
+    # caller passes do UNPADDED (OOB rows read undefined values): the
+    # padded-q columns of pt are exp2(-inf)=0, but 0*NaN would still
+    # poison dv/dk sums, so zero the garbage do rows explicitly (one
+    # VMEM-resident VPU pass).
     ki = pl.program_id(2)
     s_pad_q = q_ref.shape[0]
+    if valid is not None:
+        qrow = jax.lax.broadcasted_iota(jnp.int32, (s_pad_q, 1), 0)
+        do_all = jnp.where(qrow < valid, do_ref[:], 0)
+    else:
+        do_all = do_ref[:]
     if causal:
         qcol = jax.lax.broadcasted_iota(jnp.int32, (block_k, s_pad_q), 1)
         krow = jax.lax.broadcasted_iota(jnp.int32, (block_k, s_pad_q), 0)
@@ -292,12 +301,12 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         lse = lse_ref[e : e + 1, :]  # [1, S_pad_q] row layout
         pt = jnp.exp2(st - lse)
         dv = jax.lax.dot_general(
-            pt.astype(do_ref.dtype), do_ref[:, sl], (((1,), (0,)), ((), ())),
+            pt.astype(do_ref.dtype), do_all[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dvs.append(dv.astype(dv_ref.dtype))
         dpt = jax.lax.dot_general(
-            v_ref[:, sl], do_ref[:, sl], (((1,), (1,)), ((), ())),
+            v_ref[:, sl], do_all[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [block_k, S_pad_q]
         delta = delta_ref[e : e + 1, :]
@@ -572,8 +581,11 @@ def _bwd_fused_views(heads, s, sm_scale, causal, block_q, interpret, res,
     if block_q is None:
         block_q = _fused_block_q(s_pad, hpp)
     block_k = block_q
-    dop = jnp.pad(g, ((0, 0), (0, s_pad - s), (0, 0)))
-    outp = jnp.pad(out, ((0, 0), (0, s_pad - s), (0, 0)))
+    # do/out stay UNPADDED: the dq kernel's delta/dp are row-local (a
+    # garbage OOB row only corrupts its own dq row, which the valid
+    # mask zeroes) and the dkv kernel masks do rows in-kernel — no
+    # [B, S_pad, W] pad materializations in the backward at all
+    dop, outp = g, out
     delta = (g.astype(jnp.float32) * out.astype(jnp.float32)).reshape(
         b, s, heads, d).sum(axis=-1).transpose(0, 2, 1)
     delta = jnp.pad(delta, ((0, 0), (0, 0), (0, s_pad - s))).reshape(
