@@ -8,13 +8,21 @@ finetuning (retrieval + classification), zero-shot evaluation suites,
 and a fused host-decode + device-augment input pipeline.
 
 Design pillars (TPU-first, not a port):
-  - SPMD over a `jax.sharding.Mesh` (data / fsdp / tensor axes) with
-    pjit-partitioned train steps; optimizer state sharding (ZeRO-like)
-    falls out of sharding rules.
-  - Pallas kernels for the hot ops: flash attention, fused
-    crop/resize/flip/normalize input processing, masked patchify.
+  - SPMD over a `jax.sharding.Mesh` (data / fsdp / pp / sp / ep /
+    tensor axes) with pjit-partitioned train steps; optimizer-state
+    sharding (ZeRO-like), Megatron col/row rules, GPipe pipeline, ring
+    attention, and MoE expert parallelism all fall out of sharding
+    rules + collectives-by-annotation.
+  - Pallas kernels for the hot ops: packed/fused-qkv flash attention
+    (fwd + bwd), fused crop/resize/flip/normalize input processing,
+    masked patchify.
   - bf16 compute policy with f32 params/reductions.
-  - C++ (FFmpeg) host decode library feeding device-side augmentation.
+  - C++ (FFmpeg) host decode library (keyframe-indexed seek, B-frame
+    fast-forward) feeding shared-memory loaders and device-side
+    augmentation.
+  - Production serving (`avion_tpu.serve`): HTTP + request
+    micro-batching over the jitted encoders; KV-cached narrator
+    generation.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
