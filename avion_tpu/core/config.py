@@ -96,6 +96,8 @@ class ModelConfig:
     # ring attention over the mesh "sp" axis (long-clip training);
     # requires pooling=gap and mesh.sp > 1
     sequence_parallel: bool = False
+    moe_experts: int = 0  # V-MoE visual tower; shard experts over mesh.ep
+    moe_aux_weight: float = 0.01  # router load-balance loss weight
     use_fast_conv1: bool = True
     use_flash_attn: bool = True
     use_quick_gelu: bool = True  # reference silently drops this; we honor it

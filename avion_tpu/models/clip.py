@@ -45,6 +45,7 @@ class CLIP(nn.Module):
     remat: bool = False
     remat_policy: str = "save_attn"
     sequence_parallel: bool = False  # ring attention in the visual tower
+    moe_experts: int = 0  # V-MoE visual tower (expert-parallel MLPs)
     freeze_temperature: bool = False
     temperature_init: float = 0.07
     dtype: Any = jnp.bfloat16
@@ -60,6 +61,7 @@ class CLIP(nn.Module):
             patch_dropout_rate=self.patch_dropout_rate, remat=self.remat,
             remat_policy=self.remat_policy,
             sequence_parallel=self.sequence_parallel,
+            moe_experts=self.moe_experts,
         )
         self.textual = TextTransformer(
             context_length=self.context_length, vocab_size=self.vocab_size,

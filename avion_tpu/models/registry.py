@@ -50,6 +50,7 @@ def _clip_factory(
         use_grad_checkpointing: bool = False,
         remat_policy: str = "save_attn",
         sequence_parallel: bool = False,
+        moe_experts: int = 0,
         patch_dropout: float = 0.0,
         pooling: str = "cls",
         freeze_temperature: bool = False,
@@ -79,6 +80,7 @@ def _clip_factory(
             remat=use_grad_checkpointing,
             remat_policy=remat_policy,
             sequence_parallel=sequence_parallel,
+            moe_experts=moe_experts,
             freeze_temperature=freeze_temperature,
             temperature_init=temperature_init,
             dtype=dtype if dtype is not None else jnp.bfloat16,
@@ -136,6 +138,7 @@ def _clip_tiny(
     use_grad_checkpointing: bool = False,
     remat_policy: str = "save_attn",
     use_quick_gelu: bool = True,
+    moe_experts: int = 0,
     dtype=None,
     **_unused,
 ):
@@ -150,7 +153,7 @@ def _clip_tiny(
         vision_heads=2, context_length=77, vocab_size=49408, text_width=32,
         text_heads=2, text_layers=2, use_quick_gelu=use_quick_gelu,
         use_flash=use_flash_attn, remat=use_grad_checkpointing,
-        remat_policy=remat_policy,
+        remat_policy=remat_policy, moe_experts=moe_experts,
         dtype=dtype if dtype is not None else jnp.float32,
     )
 

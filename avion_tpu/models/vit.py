@@ -54,6 +54,7 @@ class VisionTransformer(nn.Module):
     # pooling in {"gap", "none"} — the CLS token would break the even
     # token split — and no patch dropout.
     sequence_parallel: bool = False
+    moe_experts: int = 0  # V-MoE: expert-parallel MLPs in every block
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -114,7 +115,7 @@ class VisionTransformer(nn.Module):
             self.width, self.layers, self.heads, self.mlp_ratio, self.act,
             self.dtype, self.use_flash, False, self.ls_init_value,
             self.drop_path_rate, self.remat, self.remat_policy,
-            self.sequence_parallel,
+            self.sequence_parallel, self.moe_experts,
             name="transformer",
         )(x, deterministic)
 

@@ -55,6 +55,7 @@ def build_model_and_state(cfg: TrainConfig, niter_per_ep: int):
         use_grad_checkpointing=m.use_grad_checkpointing,
         remat_policy=m.remat_policy,
         sequence_parallel=m.sequence_parallel,
+        moe_experts=m.moe_experts,
         patch_dropout=m.patch_dropout,
         pooling=m.pooling,
         freeze_temperature=m.freeze_temperature,
@@ -127,7 +128,8 @@ def main(argv=None):
     model, params, tx = build_model_and_state(cfg, niter)
     step_fn = make_clip_train_step(
         model, tx, label_smoothing=cfg.label_smoothing,
-        crop_size=cfg.data.crop_size)
+        crop_size=cfg.data.crop_size,
+        moe_aux_weight=cfg.model.moe_aux_weight)
     run = setup_run(cfg, params, tx, step_fn)
 
     rng = jax.random.PRNGKey(cfg.seed + 1)

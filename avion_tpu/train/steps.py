@@ -74,22 +74,30 @@ def make_clip_train_step(
     tx: optax.GradientTransformation,
     label_smoothing: float = 0.0,
     crop_size: Optional[int] = None,
+    moe_aux_weight: float = 0.01,
 ) -> Callable:
     def step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         dropout_rng, pd_rng = jax.random.split(rng)
 
         def loss_fn(params):
-            out = model.apply(
+            out, variables = model.apply(
                 {"params": params},
                 prep_video(batch["video"], batch=batch, crop_size=crop_size),
                 batch["text"],
                 False,
                 rngs={"dropout": dropout_rng, "patch_dropout": pd_rng},
+                mutable=["losses"],
             )
             d = clip_loss(out["image_embed"], out["text_embed"],
                           out["logit_scale"], label_smoothing)
             d["logit_scale"] = out["logit_scale"]
+            # MoE towers sow per-block router load-balance losses into
+            # the "losses" collection (empty for dense models)
+            aux = jax.tree_util.tree_leaves(variables.get("losses", {}))
+            if aux:
+                d["moe_aux"] = sum(jnp.asarray(a).sum() for a in aux)
+                d["loss"] = d["loss"] + moe_aux_weight * d["moe_aux"]
             return d["loss"], d
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -147,3 +147,44 @@ def test_block_with_moe_mlp():
     assert y.shape == x.shape
     assert "moe_mlp" in params and "mlp" not in params
     assert np.isfinite(np.asarray(y, np.float32)).all()
+
+
+def test_clip_vmoe_end_to_end_train_step():
+    """config-reachable V-MoE: CLIP with an expert-parallel visual
+    tower trains one step on a data x ep mesh and applies the router
+    aux loss through make_clip_train_step."""
+    import optax
+
+    from avion_tpu.core.config import OptimConfig
+    from avion_tpu.core.train_state import TrainState
+    from avion_tpu.models import create_model
+    from avion_tpu.optim import build_optimizer
+    from avion_tpu.parallel import shard_params
+    from avion_tpu.parallel.sharding import make_global_batch
+    from avion_tpu.train.steps import make_clip_train_step
+
+    mesh = make_mesh(data=2, ep=4)
+    model = create_model("CLIP_TINY", num_frames=2, moe_experts=4,
+                         use_flash_attn=False)
+    rng = jax.random.PRNGKey(0)
+    video = np.random.RandomState(0).randint(
+        0, 255, (4, 2, 32, 32, 3)).astype(np.uint8)
+    text = np.random.RandomState(1).randint(1, 64, (4, 13)).astype(np.int32)
+    with jax.set_mesh(mesh):
+        params = jax.jit(model.init)(
+            rng, jnp.zeros((2, 2, 32, 32, 3)),
+            jnp.zeros((2, 13), jnp.int32))["params"]
+        assert any("moe_mlp" in k for k in str(jax.tree_util.tree_structure(
+            params)).split("'"))
+        params = shard_params(params, mesh)
+        cfg = OptimConfig(optimizer="adamw", lr=1e-3, warmup_epochs=0,
+                          epochs=1, grad_clip_norm=1.0)
+        tx, _ = build_optimizer(cfg, params, niter_per_ep=100)
+        state = TrainState.create(params, tx)
+        step = jax.jit(make_clip_train_step(model, tx, crop_size=32),
+                       donate_argnums=(0,))
+        batch = {"video": make_global_batch(mesh, video),
+                 "text": make_global_batch(mesh, text)}
+        state, m = step(state, batch, rng)
+    assert np.isfinite(float(m["loss"]))
+    assert "moe_aux" in m and np.isfinite(float(m["moe_aux"]))
