@@ -16,6 +16,9 @@ Endpoints (JSON in/out):
   "shape": [N,T,H,W,3]}`` (raw uint8 little-endian bytes, base64)
 - ``POST /v1/similarity`` ``{"texts": [...], "paths"|"frames_b64": ...}``
   → temperature-scaled logits [n_videos, n_texts]
+- ``POST /v1/classify`` ``{"labels": [...], "paths"|"frames_b64"}`` →
+  zero-shot class probabilities (template-ensemble classifier, cached
+  per label set)
 - ``POST /v1/narrate`` ``{"paths"|"frames_b64": ...}`` → generated
   narrations per clip (with ``--narrator-checkpoint``; KV-cached LaViLa
   decoding)
@@ -140,19 +143,36 @@ class ClipService:
                                           max_batch=batch,
                                           max_wait_ms=max_wait_ms,
                                           name="video")
+        self._clf_cache: dict = {}
 
     # -- device-thread callbacks (run inside the batchers) --------------
 
-    def _encode_texts(self, texts: List[str]) -> List[np.ndarray]:
+    def _encode_texts(self, items: List) -> List[np.ndarray]:
         from avion_tpu.data.tokenizer import tokenize
 
-        toks = tokenize(list(texts),
-                        context_length=self.model.context_length)
-        toks = np.atleast_2d(toks)
-        emb = self.encoders.encode_texts(toks)
-        emb /= np.clip(np.linalg.norm(emb, axis=-1, keepdims=True), 1e-9,
-                       None)
-        return list(emb)
+        # classifier-build requests ride the same device thread (the
+        # encoders are driven from exactly one thread per modality)
+        out: List = [None] * len(items)
+        texts, idxs = [], []
+        for i, it in enumerate(items):
+            if isinstance(it, tuple) and it and it[0] == "__build_clf__":
+                from avion_tpu.eval.runners import build_text_classifier
+
+                out[i] = build_text_classifier(
+                    self.encoders, it[1],
+                    context_length=self.model.context_length)
+            else:
+                texts.append(it)
+                idxs.append(i)
+        if texts:
+            toks = np.atleast_2d(tokenize(
+                texts, context_length=self.model.context_length))
+            emb = self.encoders.encode_texts(toks)
+            emb /= np.clip(np.linalg.norm(emb, axis=-1, keepdims=True),
+                           1e-9, None)
+            for i, e in zip(idxs, emb):
+                out[i] = e
+        return out
 
     def _encode_videos(self, clips: List[np.ndarray]) -> List[np.ndarray]:
         # uint8 0-255 scale: CLIPEncoders normalizes on device
@@ -186,6 +206,39 @@ class ClipService:
         futs = [self.video_batcher.submit(c) for c in clips]
         return {"embeddings": [f.result(timeout=300).tolist()
                                for f in futs]}
+
+    def classify(self, req: dict) -> dict:
+        """Zero-shot action classification: template-ensemble text
+        classifier (the eval suites' construction,
+        ``eval/runners.py:build_text_classifier``) against clip
+        embeddings.  Classifier weights are cached per label set."""
+        labels = req["labels"]
+        if not isinstance(labels, list) or not labels:
+            raise ValueError("'labels' must be a non-empty list")
+        key = tuple(labels)
+        clf = self._clf_cache.get(key)
+        if clf is None:
+            from avion_tpu.eval.runners import build_text_classifier
+
+            # serialize classifier builds through the text batcher's
+            # device thread (encoders are not re-entrant across threads)
+            fut = self.text_batcher.submit(("__build_clf__", labels))
+            clf = fut.result(timeout=600)
+            if len(self._clf_cache) > 32:  # bound memory
+                self._clf_cache.clear()
+            self._clf_cache[key] = clf
+        clips = self.clips_from_request(req)
+        vfuts = [self.video_batcher.submit(c) for c in clips]
+        v = np.stack([f.result(timeout=300) for f in vfuts])
+        scale = float(np.exp(
+            np.asarray(self.params_logit_scale(), np.float32)))
+        logits = scale * v @ clf.T
+        probs = np.exp(logits - logits.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        top = probs.argmax(-1)
+        return {"probs": probs.tolist(),
+                "top": [{"label": labels[i], "prob": float(probs[n, i])}
+                        for n, i in enumerate(top)]}
 
     def similarity(self, req: dict) -> dict:
         clips = self.clips_from_request(req)
@@ -256,6 +309,8 @@ def make_server(service: ClipService, port: int = 0,
                     self._json(200, service.embed_video(req))
                 elif self.path == "/v1/similarity":
                     self._json(200, service.similarity(req))
+                elif self.path == "/v1/classify":
+                    self._json(200, service.classify(req))
                 elif self.path == "/v1/narrate" and narrate is not None:
                     self._json(200, narrate.narrate(req))
                 else:

@@ -304,3 +304,33 @@ def test_mesh_sharded_service(served):
         np.testing.assert_allclose(a, b, atol=2e-3)
     finally:
         svc.close()
+
+
+def test_classify_endpoint(served):
+    """Zero-shot classification: template-ensemble classifier over the
+    clip embedding; classifier cached per label set."""
+    url, service, model, params = served
+    rs = np.random.RandomState(3)
+    frames = rs.randint(0, 255, (2, 4, 32, 32, 3), np.uint8)
+    body_req = {
+        "labels": ["open door", "cut onion", "wash hands"],
+        "frames_b64": base64.b64encode(frames.tobytes()).decode(),
+        "shape": list(frames.shape)}
+    code, body = _post(url, "/v1/classify", body_req)
+    assert code == 200
+    probs = np.asarray(body["probs"])
+    assert probs.shape == (2, 3)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+    assert body["top"][0]["label"] in body_req["labels"]
+    # cache hit path (same labels again)
+    code, body2 = _post(url, "/v1/classify", body_req)
+    assert code == 200
+    np.testing.assert_allclose(np.asarray(body2["probs"]), probs,
+                               atol=1e-5)
+    assert len(service._clf_cache) == 1
+    # bad request: empty labels
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url, "/v1/classify", {"labels": [],
+                                    "frames_b64": body_req["frames_b64"],
+                                    "shape": body_req["shape"]})
+    assert e.value.code == 400
