@@ -205,3 +205,43 @@ def test_fused_qkv_videomae_decoder_shape(rng):
     assert np.isfinite(np.asarray(g)).all()
     np.testing.assert_array_equal(np.asarray(g[:, s:]),
                                   np.zeros_like(np.asarray(g[:, s:])))
+
+
+def test_selfattention_fused_model_path_matches_reference(rng, monkeypatch):
+    """The model-level TPU fast path (pad once -> fused-qkv views) is
+    numerically identical to the plain packed path — exercised on CPU
+    by forcing the dispatch and running the kernels in interpret mode."""
+    import functools
+    import importlib
+
+    # package re-export shadows the submodule; resolve explicitly
+    A = importlib.import_module("avion_tpu.ops.attention")
+    from avion_tpu.models.layers import SelfAttention
+    from avion_tpu.ops.flash_attention import flash_attention_fused_qkv
+
+    monkeypatch.setattr(A, "_on_tpu", lambda: True)
+    monkeypatch.setattr(
+        A, "flash_attention_fused_qkv",
+        functools.partial(flash_attention_fused_qkv, interpret=True))
+
+    for s, causal in ((50, False), (77, True)):
+        x = jax.random.normal(rng, (2, s, 64), jnp.float32)
+        sa_fast = SelfAttention(64, 2, jnp.float32, use_flash=True,
+                                causal=causal)
+        sa_ref = SelfAttention(64, 2, jnp.float32, use_flash=False,
+                               causal=causal)
+        params = sa_ref.init(rng, x)["params"]
+        y_ref = sa_ref.apply({"params": params}, x)
+        y_fast = sa_fast.apply({"params": params}, x)
+        np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref),
+                                   atol=2e-5, rtol=2e-5)
+
+        # grads through the fused path match too
+        g_ref = jax.grad(lambda p: jnp.sum(
+            sa_ref.apply({"params": p}, x) ** 2))(params)
+        g_fast = jax.grad(lambda p: jnp.sum(
+            sa_fast.apply({"params": p}, x) ** 2))(params)
+        for va, vb in zip(jax.tree_util.tree_leaves(g_ref),
+                          jax.tree_util.tree_leaves(g_fast)):
+            np.testing.assert_allclose(np.asarray(vb), np.asarray(va),
+                                       atol=5e-4, rtol=5e-4)
