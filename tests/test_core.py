@@ -111,3 +111,23 @@ def test_steptimer_first_window_counts():
     assert s["batch_time"] > 0
     assert s["step_time"] > 0
     assert 0 < s["duty_cycle"] <= 1.0
+
+
+def test_profiling_helpers_smoke(tmp_path):
+    """trace/annotate/wallclock run on the CPU backend and capture a
+    device trace directory."""
+    import glob
+
+    import jax.numpy as jnp
+
+    from avion_tpu.core.profiling import annotate, trace, wallclock
+
+    logs = []
+    with wallclock("unit", sink=logs.append):
+        with trace(str(tmp_path)):
+            with annotate("matmul"):
+                x = jnp.ones((64, 64))
+                (x @ x).block_until_ready()
+    assert logs and logs[0].startswith("[unit]")
+    assert glob.glob(str(tmp_path) + "/**/*.pb", recursive=True) or \
+        glob.glob(str(tmp_path) + "/**/*.json.gz", recursive=True)
