@@ -49,3 +49,45 @@ def test_embed_videos_cli(tmp_path):
     assert np.isfinite(z["video_embeds"]).all()
     # embeddings discriminate: different clips differ
     assert np.abs(z["video_embeds"][0] - z["video_embeds"][1]).max() > 1e-5
+
+
+def test_extract_features_cli(tmp_path):
+    """egonlq extract_features CLI end-to-end on a tiny NLQ json."""
+    import json
+
+    from avion_tpu.egonlq.extract_features import main as fx_main
+    from avion_tpu.models import create_model
+    from avion_tpu.tools.convert_checkpoint import export_clip_to_pt
+
+    model = create_model("CLIP_TINY", num_frames=2)
+    params = jax.tree_util.tree_map(np.asarray, model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, 32, 32, 3)),
+        jnp.zeros((1, 77), jnp.int32))["params"])
+    ckpt = str(tmp_path / "tiny.pt")
+    export_clip_to_pt(params, ckpt)
+
+    root = tmp_path / "videos"
+    root.mkdir()
+    vw = cv2.VideoWriter(str(root / "vid_a.mp4"),
+                         cv2.VideoWriter_fourcc(*"mp4v"), 10, (48, 48))
+    for f in range(40):
+        vw.write(np.random.RandomState(f).randint(0, 255, (48, 48, 3),
+                                                  np.uint8))
+    vw.release()
+
+    ann = {"videos": [{"video_uid": "vid_a", "clips": [{
+        "clip_uid": "c0", "video_start_sec": 0.0, "video_end_sec": 4.0,
+        "annotations": [{"language_queries": [
+            {"query": "where is the knife",
+             "clip_start_sec": 1.0, "clip_end_sec": 2.0}]}]}]}]}
+    annp = str(tmp_path / "nlq.json")
+    json.dump(ann, open(annp, "w"))
+
+    out = str(tmp_path / "features")
+    fx_main(["--ckpt", ckpt, "--model", "CLIP_TINY",
+             "--annotations", annp, "--video-root", str(root),
+             "--out", out, "--clip-length", "2", "--window-sec", "1.0",
+             "--batch", "4"])
+    import glob
+    files = glob.glob(out + "/*")
+    assert files, "no feature files written"
