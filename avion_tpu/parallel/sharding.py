@@ -63,7 +63,12 @@ def _spec_for_param(path: str, shape, mesh: Mesh) -> P:
     ep = mesh.shape.get(EP_AXIS, 1)
     if ep > 1 and "expert" in lname and shape[0] % ep == 0:
         axes[0] = EP_AXIS  # [E, ...] expert-stacked weights
-    if pp > 1 and any(k in lname for k in _PIPE_LEAVES) \
+    # "expert" leaves ([E, ...] stacked) are never pipeline-stacked —
+    # without the guard, 'expert_fc1_bias' would substring-match 'fc1_'
+    # and get its expert dim sharded over pp while the kernels stay
+    # unsharded (inconsistent layout, avoidable resharding)
+    if pp > 1 and "expert" not in lname \
+            and any(k in lname for k in _PIPE_LEAVES) \
             and shape[0] % pp == 0 and axes[0] is None:
         axes[0] = PP_AXIS
     if tensor > 1:

@@ -27,7 +27,11 @@ Start::
 
     python -m avion_tpu.serve model.name=CLIP_VITB16 \
         pretrain_model=<ckpt.pt|orbax_dir> --port 8080 \
+        [--host 0.0.0.0 --media-root /data/videos] \
         [--mesh mesh.data=-1] [--narrator-checkpoint ckpt.pt]
+
+Binds loopback by default; pass ``--host 0.0.0.0`` to expose it and
+``--media-root`` to confine server-side 'paths' decoding to a directory.
 
 ``--mesh`` shards encode batches over the device mesh (multi-chip
 serving); see docs/SERVING.md.
@@ -76,8 +80,25 @@ def decode_clip(path: str, clip_length: int, size: int,
     return out[:, y0 : y0 + size, x0 : x0 + size]
 
 
-def clips_from_request(req: dict, clip_length: int,
-                       size: int) -> List[np.ndarray]:
+def resolve_media_path(path: str, media_root: Optional[str]) -> str:
+    """Resolve a client-supplied path against the configured media root.
+
+    With no root configured the server trusts its caller (loopback-only
+    by default); with one, any path escaping the root is rejected so a
+    network client cannot probe arbitrary server-side files."""
+    if media_root is None:
+        return path
+    import os
+
+    root = os.path.realpath(media_root)
+    full = os.path.realpath(os.path.join(root, path.lstrip("/")))
+    if full != root and not full.startswith(root + os.sep):
+        raise ValueError(f"path escapes media root: {path!r}")
+    return full
+
+
+def clips_from_request(req: dict, clip_length: int, size: int,
+                       media_root: Optional[str] = None) -> List[np.ndarray]:
     if "frames_b64" in req:
         shape = tuple(req["shape"])
         if len(shape) != 5 or shape[1] != clip_length or shape[4] != 3:
@@ -92,8 +113,8 @@ def clips_from_request(req: dict, clip_length: int,
                 "use 'paths' for server-side resize")
         return list(arr)
     if "paths" in req:
-        return [decode_clip(p, clip_length, size, req.get("start"),
-                            req.get("end"))
+        return [decode_clip(resolve_media_path(p, media_root), clip_length,
+                            size, req.get("start"), req.get("end"))
                 for p in req["paths"]]
     raise ValueError("request needs 'paths' or 'frames_b64'")
 
@@ -105,15 +126,18 @@ class NarrateService:
     device access against concurrent requests; generation itself
     batches internally via ``num_samples``."""
 
-    def __init__(self, caption_fn, *, clip_length: int, image_size: int):
+    def __init__(self, caption_fn, *, clip_length: int, image_size: int,
+                 media_root: Optional[str] = None):
         self.clip_length = clip_length
         self.image_size = image_size
+        self.media_root = media_root
         self.batcher = MicroBatcher(
             lambda clips: [caption_fn(c) for c in clips],
             max_batch=1, max_wait_ms=0.0, name="narrate")
 
     def narrate(self, req: dict) -> dict:
-        clips = clips_from_request(req, self.clip_length, self.image_size)
+        clips = clips_from_request(req, self.clip_length, self.image_size,
+                                   self.media_root)
         futs = [self.batcher.submit(c) for c in clips]
         return {"narrations": [f.result(timeout=600) for f in futs]}
 
@@ -129,10 +153,11 @@ class ClipService:
 
     def __init__(self, model, params, *, batch: int = 32,
                  max_wait_ms: float = 2.0, clip_length: Optional[int] = None,
-                 mesh=None):
+                 mesh=None, media_root: Optional[str] = None):
         from avion_tpu.eval.runners import CLIPEncoders
 
         self.model = model
+        self.media_root = media_root
         self.clip_length = clip_length or model.num_frames
         self.encoders = CLIPEncoders(model, params, batch=batch, mesh=mesh)
         self.text_batcher = MicroBatcher(self._encode_texts,
@@ -186,12 +211,13 @@ class ClipService:
 
     def decode_clip(self, path: str, start: Optional[float] = None,
                     end: Optional[float] = None) -> np.ndarray:
-        return decode_clip(path, self.clip_length, self.model.image_size,
+        return decode_clip(resolve_media_path(path, self.media_root),
+                           self.clip_length, self.model.image_size,
                            start, end)
 
     def clips_from_request(self, req: dict) -> List[np.ndarray]:
         return clips_from_request(req, self.clip_length,
-                                  self.model.image_size)
+                                  self.model.image_size, self.media_root)
 
     # -- endpoint handlers ----------------------------------------------
 
@@ -346,12 +372,18 @@ def main(argv=None):
     def _flag(name, default=None):
         if name in argv:
             i = argv.index(name)
+            if i + 1 >= len(argv):
+                raise SystemExit(f"usage: {name} <value> (missing value)")
             val = argv[i + 1]
             del argv[i : i + 2]
             return val
         return default
 
     port = int(_flag("--port", "8080"))
+    # loopback by default: /v1/embed/video etc. accept server-side file
+    # paths, so external binding is opt-in (pair with --media-root)
+    host = _flag("--host", "127.0.0.1")
+    media_root = _flag("--media-root")
     use_mesh = "--mesh" in argv
     if use_mesh:
         argv.remove("--mesh")
@@ -383,7 +415,7 @@ def main(argv=None):
         mesh = mesh_from_config(cfg.mesh)
         print(f"serving over mesh {dict(mesh.shape)}")
     service = ClipService(model, params, batch=cfg.data.val_batch_size,
-                          mesh=mesh)
+                          mesh=mesh, media_root=media_root)
     narrate = None
     if narrator_ckpt:
         from avion_tpu.models import create_model as _cm
@@ -394,8 +426,8 @@ def main(argv=None):
             lavila_captioner(narrator_ckpt, model=nmodel,
                              num_frames=cfg.data.clip_length),
             clip_length=cfg.data.clip_length,
-            image_size=nmodel.image_size)
-    server = make_server(service, port=port, host="0.0.0.0",
+            image_size=nmodel.image_size, media_root=media_root)
+    server = make_server(service, port=port, host=host,
                          narrate=narrate)
     print(f"serving {m.name} on :{server.server_address[1]}")
     server.serve_forever()

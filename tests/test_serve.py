@@ -334,3 +334,32 @@ def test_classify_endpoint(served):
                                     "frames_b64": body_req["frames_b64"],
                                     "shape": body_req["shape"]})
     assert e.value.code == 400
+
+
+def test_resolve_media_path_confines_to_root(tmp_path):
+    from avion_tpu.serve.server import resolve_media_path
+
+    root = tmp_path / "media"
+    (root / "sub").mkdir(parents=True)
+    (root / "sub" / "a.mp4").write_bytes(b"x")
+    # no root configured: pass-through (loopback-only trust model)
+    assert resolve_media_path("/etc/hostname", None) == "/etc/hostname"
+    # relative and absolute-style paths resolve under the root
+    got = resolve_media_path("sub/a.mp4", str(root))
+    assert got == str(root / "sub" / "a.mp4")
+    assert resolve_media_path("/sub/a.mp4", str(root)) == got
+    # escapes are rejected
+    for bad in ("../outside", "sub/../../x", "/../etc/passwd"):
+        with pytest.raises(ValueError):
+            resolve_media_path(bad, str(root))
+
+
+def test_resolve_media_path_rejects_symlink_escape(tmp_path):
+    from avion_tpu.serve.server import resolve_media_path
+
+    root = tmp_path / "media"
+    root.mkdir()
+    (tmp_path / "secret").mkdir()
+    (root / "link").symlink_to(tmp_path / "secret")
+    with pytest.raises(ValueError):
+        resolve_media_path("link/x.mp4", str(root))

@@ -111,22 +111,34 @@ def bframe_video(tmp_path_factory):
     return path
 
 
-def _expected_luma(i):
-    return 40 + (13 * i) % 160
+def _bar_centroid(frame, w=128):
+    # centroid of the bright moving-bar columns (value 235 on a <=199
+    # background); mpeg4 quantization shifts frame *means* by up to ~11
+    # luma, so the bar position — which steps 7 px per frame — is the
+    # only unambiguous per-frame identity
+    cols = frame.mean(axis=(0, 2))
+    bright = cols > cols.min() + 0.5 * (cols.max() - cols.min())
+    idx = np.nonzero(bright)[0]
+    return float(idx.mean())
+
+
+def _expected_bar_centroid(i, w=128):
+    bar = (i * 7) % w
+    return (bar + min(w, bar + 8) - 1) / 2.0
 
 
 def test_bframe_frame_accuracy(bframe_video):
     vr = VideoReader(bframe_video, backend="native")
     assert len(vr) == 450
     # far-apart wanted frames: skip_frame=NONREF active between them; the
-    # emitted frames must still be the exact requested ones (identified by
-    # their per-frame luminance level)
+    # emitted frames must still be the exact requested ones (identified
+    # by the bar position, unambiguous across neighbors at 7 px/frame)
     ids = [3, 77, 190, 191, 310, 448]
     out = vr.get_batch(ids, CropSpec(), (128, 96))
     for k, fid in enumerate(ids):
-        got = float(out[k].mean())
-        assert abs(got - _expected_luma(fid)) < 16, (fid, got,
-                                                     _expected_luma(fid))
+        got = _bar_centroid(out[k])
+        want = _expected_bar_centroid(fid)
+        assert abs(got - want) < 3.0, (fid, got, want)
 
 
 def test_bframe_matches_cv2(bframe_video):
@@ -146,9 +158,10 @@ def test_bframe_matches_cv2(bframe_video):
 
 def test_bframe_sequential_reads(bframe_video):
     vr = VideoReader(bframe_video, backend="native")
+    # half-resolution output: bar centroid scales by w_out/w_src = 0.5
     a = vr.get_batch([100, 101, 102, 103], CropSpec(), (64, 48))
     bb = vr.get_batch([140, 141, 142, 143], CropSpec(), (64, 48))
     for k, fid in enumerate((100, 101, 102, 103)):
-        assert abs(float(a[k].mean()) - _expected_luma(fid)) < 16
+        assert abs(_bar_centroid(a[k]) - _expected_bar_centroid(fid) / 2) < 2
     for k, fid in enumerate((140, 141, 142, 143)):
-        assert abs(float(bb[k].mean()) - _expected_luma(fid)) < 16
+        assert abs(_bar_centroid(bb[k]) - _expected_bar_centroid(fid) / 2) < 2
