@@ -96,8 +96,13 @@ class ModelConfig:
     # ring attention over the mesh "sp" axis (long-clip training);
     # requires pooling=gap and mesh.sp > 1
     sequence_parallel: bool = False
+    # GPipe pipeline parallelism: route the visual tower's layer stack
+    # through parallel/pipeline.PipelinedTransformer over mesh.pp
+    pipeline: bool = False
+    pipeline_microbatches: int = 8  # GPipe microbatches (>= 4*pp advised)
     moe_experts: int = 0  # V-MoE visual tower; shard experts over mesh.ep
     moe_aux_weight: float = 0.01  # router load-balance loss weight
+    moe_zloss_weight: float = 0.0  # optional router z-loss (0 = off)
     use_fast_conv1: bool = True
     use_flash_attn: bool = True
     use_quick_gelu: bool = True  # reference silently drops this; we honor it

@@ -46,6 +46,8 @@ class CLIP(nn.Module):
     remat_policy: str = "save_attn"
     sequence_parallel: bool = False  # ring attention in the visual tower
     moe_experts: int = 0  # V-MoE visual tower (expert-parallel MLPs)
+    pipeline: bool = False  # GPipe the visual tower over mesh.pp
+    pipeline_microbatches: int = 8
     freeze_temperature: bool = False
     temperature_init: float = 0.07
     dtype: Any = jnp.bfloat16
@@ -62,6 +64,8 @@ class CLIP(nn.Module):
             remat_policy=self.remat_policy,
             sequence_parallel=self.sequence_parallel,
             moe_experts=self.moe_experts,
+            pipeline=self.pipeline,
+            pipeline_microbatches=self.pipeline_microbatches,
         )
         self.textual = TextTransformer(
             context_length=self.context_length, vocab_size=self.vocab_size,

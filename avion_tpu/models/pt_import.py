@@ -287,6 +287,12 @@ def merge_into_params(init_params: Dict[str, Any], imported: Dict[str, Any],
     """Overlay imported arrays onto an init param tree (shape-checked)."""
     import jax
 
+    from avion_tpu.parallel.pipeline import adapt_stacked_layouts
+
+    # sequential resblocks_{i} <-> stacked pipeline layout conversion
+    # (loading a sequentially-trained ckpt into a pipelined model etc.)
+    imported = adapt_stacked_layouts(imported, init_params)
+
     stats = {"loaded": 0, "skipped": []}
 
     def walk(dst, src, path=""):

@@ -51,6 +51,8 @@ def _clip_factory(
         remat_policy: str = "save_attn",
         sequence_parallel: bool = False,
         moe_experts: int = 0,
+        pipeline: bool = False,
+        pipeline_microbatches: int = 8,
         patch_dropout: float = 0.0,
         pooling: str = "cls",
         freeze_temperature: bool = False,
@@ -81,6 +83,8 @@ def _clip_factory(
             remat_policy=remat_policy,
             sequence_parallel=sequence_parallel,
             moe_experts=moe_experts,
+            pipeline=pipeline,
+            pipeline_microbatches=pipeline_microbatches,
             freeze_temperature=freeze_temperature,
             temperature_init=temperature_init,
             dtype=dtype if dtype is not None else jnp.bfloat16,
@@ -139,6 +143,8 @@ def _clip_tiny(
     remat_policy: str = "save_attn",
     use_quick_gelu: bool = True,
     moe_experts: int = 0,
+    pipeline: bool = False,
+    pipeline_microbatches: int = 2,
     dtype=None,
     **_unused,
 ):
@@ -154,6 +160,7 @@ def _clip_tiny(
         text_heads=2, text_layers=2, use_quick_gelu=use_quick_gelu,
         use_flash=use_flash_attn, remat=use_grad_checkpointing,
         remat_policy=remat_policy, moe_experts=moe_experts,
+        pipeline=pipeline, pipeline_microbatches=pipeline_microbatches,
         dtype=dtype if dtype is not None else jnp.float32,
     )
 

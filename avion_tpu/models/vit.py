@@ -55,6 +55,11 @@ class VisionTransformer(nn.Module):
     # token split — and no patch dropout.
     sequence_parallel: bool = False
     moe_experts: int = 0  # V-MoE: expert-parallel MLPs in every block
+    # GPipe pipeline over the "pp" mesh axis: the layer stack runs as a
+    # PipelinedTransformer (stacked [L, ...] params; checkpoint interop
+    # via parallel/pipeline.{stack,unstack}_block_params)
+    pipeline: bool = False
+    pipeline_microbatches: int = 8
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -111,13 +116,27 @@ class VisionTransformer(nn.Module):
             )
 
         x = LayerNorm(dtype=self.dtype, name="ln_pre")(x)
-        x = Transformer(
-            self.width, self.layers, self.heads, self.mlp_ratio, self.act,
-            self.dtype, self.use_flash, False, self.ls_init_value,
-            self.drop_path_rate, self.remat, self.remat_policy,
-            self.sequence_parallel, self.moe_experts,
-            name="transformer",
-        )(x, deterministic)
+        if self.pipeline:
+            assert self.moe_experts == 0 and not self.sequence_parallel, (
+                "pipeline excludes moe/sequence_parallel in the same tower")
+            assert self.ls_init_value is None and self.drop_path_rate == 0.0
+            from avion_tpu.parallel.pipeline import PipelinedTransformer
+
+            x = PipelinedTransformer(
+                width=self.width, layers=self.layers, heads=self.heads,
+                mlp_ratio=self.mlp_ratio, act=self.act, dtype=self.dtype,
+                use_flash=self.use_flash,
+                num_microbatches=self.pipeline_microbatches,
+                name="transformer",
+            )(x, deterministic)
+        else:
+            x = Transformer(
+                self.width, self.layers, self.heads, self.mlp_ratio,
+                self.act, self.dtype, self.use_flash, False,
+                self.ls_init_value, self.drop_path_rate, self.remat,
+                self.remat_policy, self.sequence_parallel, self.moe_experts,
+                name="transformer",
+            )(x, deterministic)
 
         if self.pooling == "none":
             return LayerNorm(dtype=self.dtype, name="ln_post")(x)

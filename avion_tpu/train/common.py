@@ -37,15 +37,26 @@ def load_pretrained_params(path: str, template: Any, *, num_frames: int = 16,
     step = mngr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoint under {path}")
-    # restore with a params-only template wrapped in the state layout
-    restored = mngr.restore(
-        step,
-        args=ocp.args.Composite(
-            state=ocp.args.StandardRestore({"params": template}),
-        ),
-    )
+    try:
+        # restore with a params-only template wrapped in the state layout
+        restored = mngr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore({"params": template}),
+            ),
+        )
+        params = restored["state"]["params"]
+    except Exception:
+        # layout mismatch (e.g. pipelined stacked params vs sequential
+        # template, or vice versa): restore raw, convert, overlay
+        from avion_tpu.models.pt_import import merge_into_params
+
+        restored = mngr.restore(
+            step, args=ocp.args.Composite(state=ocp.args.StandardRestore()))
+        params = merge_into_params(template, restored["state"]["params"],
+                                   strict=strict)
     mngr.close()
-    return restored["state"]["params"]
+    return params
 
 
 def extract_visual_params(clip_params: dict) -> dict:

