@@ -127,8 +127,8 @@ class SelfAttention(nn.Module):
         qkv = self.qkv(x)
         if self.sequence_parallel:
             # ring attention: tokens sharded over the "sp" mesh axis,
-            # K/V blocks rotate on ICI (beyond-parity long-clip path)
-            assert not self.causal, "ring attention path is bidirectional"
+            # K/V blocks rotate on ICI (beyond-parity long-clip path).
+            # On TPU each shard runs the Pallas flash kernel (impl auto)
             from avion_tpu.ops.ring_attention import (
                 sequence_parallel_attention)
 
@@ -137,7 +137,8 @@ class SelfAttention(nn.Module):
             unpack = lambda t: t.reshape(b, s, self.heads, d)
             o = sequence_parallel_attention(
                 unpack(qkv[..., :w]), unpack(qkv[..., w : 2 * w]),
-                unpack(qkv[..., 2 * w :]))
+                unpack(qkv[..., 2 * w :]), causal=self.causal,
+                impl=None if self.use_flash else "xla")
             o = o.reshape(b, s, w)
             o = jax.ad_checkpoint.checkpoint_name(o, "attn_out")
             return self.out_proj(o)

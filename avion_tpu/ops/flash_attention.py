@@ -144,9 +144,11 @@ def _key_bias(s: int, s_pad: int):
 
 
 def _fwd(q, k, v, heads, sm_scale, causal, block_q, interpret,
-         need_lse=True):
+         need_lse=True, extra_bias=None):
     """q/k/v: packed [B, S, W].  Returns (out [B, S, W],
-    lse [B, H//hpp, hpp, S_pad_q] | None)."""
+    lse [B, H//hpp, hpp, S_pad_q] | None).  ``extra_bias`` (traced
+    scalar) is added to every score — the ring-attention hops use it to
+    void entire key blocks (causal skip) without a recompile."""
     b, s, w = q.shape
     d = w // heads
     hpp = _heads_per_program(heads, d)
@@ -164,6 +166,8 @@ def _fwd(q, k, v, heads, sm_scale, causal, block_q, interpret,
     kp = jnp.pad(k, ((0, 0), (0, s_pad_k - s), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, s_pad_k - s), (0, 0)))
     bias = _key_bias(s, s_pad_k)
+    if extra_bias is not None:
+        bias = bias + extra_bias
     grid = (b, heads // hpp, s_pad_q // block_q)
 
     kw = dict(sm_scale=sm_scale, causal=causal, block_q=block_q, d=d,
@@ -327,7 +331,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dv_ref[:] = dv
 
 
-def _bwd(heads, sm_scale, causal, block_q, interpret, res, g):
+def _bwd(heads, sm_scale, causal, block_q, interpret, res, g,
+         extra_bias=None):
     q, k, v, out, lse = res  # packed [B,S,W]; lse [B,H//hpp,hpp,S_pad_q]
     do = g
     b, s, w = q.shape
@@ -354,6 +359,11 @@ def _bwd(heads, sm_scale, causal, block_q, interpret, res, g):
 
     bias_k = _key_bias(s, s_pad_k)  # over key columns (dq kernel)
     bias_q = _key_bias(s, s_pad_q)  # over query columns (dkv kernel)
+    if extra_bias is not None:
+        # ring-hop skip: voiding all keys (dq) / all queries (dkv)
+        # zeroes this hop's gradient contributions
+        bias_k = bias_k + extra_bias
+        bias_q = bias_q + extra_bias
 
     kw = dict(sm_scale=sm_scale, causal=causal, d=d, hpp=hpp)
     dq = pl.pallas_call(

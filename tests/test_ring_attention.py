@@ -64,3 +64,82 @@ def test_ring_single_device_axis():
     out = sequence_parallel_attention(q, k, v, mesh1)
     ref = xla_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: causal variant, blockwise memory path, Pallas flash
+# ring (interpret mode), long-sequence demonstration (VERDICT r2 #5)
+# ---------------------------------------------------------------------------
+
+
+def test_ring_causal_matches_full(sp_mesh):
+    q, k, v = _mk(s=64)
+    ref = xla_attention(q, k, v, causal=True)
+    out = sequence_parallel_attention(q, k, v, sp_mesh, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_ring_causal_gradients_match(sp_mesh):
+    q, k, v = _mk(s=32, b=1, h=2, d=8)
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(jnp.sin(fn(q, k, v)))
+
+    g1 = jax.grad(loss(lambda q, k, v: sequence_parallel_attention(
+        q, k, v, sp_mesh, causal=True)), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss(lambda q, k, v: xla_attention(
+        q, k, v, causal=True)), argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-4, err_msg=f"d{name}")
+
+
+def test_ring_blockwise_key_chunks(sp_mesh):
+    # tiny block_k forces many inner chunks; result must be unchanged
+    q, k, v = _mk(s=64)
+    ref = xla_attention(q, k, v)
+    out = sequence_parallel_attention(q, k, v, sp_mesh, block_k=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    out_c = sequence_parallel_attention(q, k, v, sp_mesh, block_k=4,
+                                        causal=True)
+    np.testing.assert_allclose(np.asarray(out_c),
+                               np.asarray(xla_attention(q, k, v,
+                                                        causal=True)),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_ring_matches_full(sp_mesh, causal):
+    # the Pallas kernel runs per shard (interpret mode off-TPU); the
+    # custom-VJP ring must match dense attention forward AND backward
+    q, k, v = _mk(s=64, b=1, h=2, d=16)
+    ref = xla_attention(q, k, v, causal=causal)
+    out = sequence_parallel_attention(q, k, v, sp_mesh, causal=causal,
+                                      impl="flash", interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(jnp.sin(fn(q, k, v)))
+
+    g1 = jax.grad(loss(lambda q, k, v: sequence_parallel_attention(
+        q, k, v, sp_mesh, causal=causal, impl="flash", interpret=True)),
+        argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss(lambda q, k, v: xla_attention(
+        q, k, v, causal=causal)), argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, rtol=2e-4, err_msg=f"d{name}")
+
+
+def test_ring_long_sequence_8k(sp_mesh):
+    # seq 8192 over 8 shards: the blockwise path peaks at
+    # [B, H, 1024, block_k] scores per device instead of 8192^2
+    q, k, v = _mk(s=8192, b=1, h=1, d=8)
+    out = sequence_parallel_attention(q, k, v, sp_mesh, block_k=512)
+    assert np.isfinite(np.asarray(out)).all()
+    ref = xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=3e-5)
