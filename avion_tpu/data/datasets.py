@@ -200,6 +200,7 @@ class VideoClassyDataset(_PicklableCache):
         num_crops: int = 1,
         sparse_sample: bool = False,
         label_mapping: Optional[dict] = None,
+        num_sample: int = 1,
     ):
         self.dataset = dataset
         self.root = root
@@ -215,6 +216,11 @@ class VideoClassyDataset(_PicklableCache):
         self.num_crops = num_crops
         self.sparse_sample = sparse_sample
         self.label_mapping = label_mapping
+        # repeated augmentation: each training item yields num_sample
+        # independently-augmented views of the same clip, flattened into
+        # the batch by collate (``classification_dataset.py:118-128,
+        # 278-300`` — the published K400 finetune recipe uses 2)
+        self.num_sample = num_sample
 
         if dataset == "ek100_cls":
             self.samples = md.load_ek100(root, metadata_path)
@@ -251,16 +257,19 @@ class VideoClassyDataset(_PicklableCache):
         s = self.samples[i]
         size = (self.augment.crop_size, self.augment.crop_size)
         if self.is_training:
-            crop = self.augment.sample(rng)
-            frames = load_clip(
-                self.root, s.vid,
-                "MP4" if self.dataset == "ek100_cls" else "mp4",
-                s.start, s.end, chunk_len=self.chunk_len, fps=s.fps,
-                clip_length=self.clip_length, threads=self.threads,
-                crop=crop, out_size=size, jitter=True, rng=rng,
-                reader_cache=self._cache,
-            )
-            return {"video": frames, "label": self._label(s)}
+            views = []
+            for _ in range(max(1, self.num_sample)):
+                crop = self.augment.sample(rng)
+                frames = load_clip(
+                    self.root, s.vid,
+                    "MP4" if self.dataset == "ek100_cls" else "mp4",
+                    s.start, s.end, chunk_len=self.chunk_len, fps=s.fps,
+                    clip_length=self.clip_length, threads=self.threads,
+                    crop=crop, out_size=size, jitter=True, rng=rng,
+                    reader_cache=self._cache,
+                )
+                views.append({"video": frames, "label": self._label(s)})
+            return views if self.num_sample > 1 else views[0]
         # eval: num_clips temporal views x center crop (multi-crop eval
         # stacking — main_lavila_finetune_cls.py:841-850).  Views are
         # sub-windows spread over the annotated span (AdaptiveTemporalCrop
@@ -408,8 +417,14 @@ class KineticsDataset(_PicklableCache):
                 "label": np.int32(s.label if s.label is not None else -1)}
 
 
-def collate(items: Sequence[Dict[str, Any]]) -> Dict[str, np.ndarray]:
-    """Stack a list of item dicts into batch arrays."""
+def collate(items: Sequence[Any]) -> Dict[str, np.ndarray]:
+    """Stack a list of item dicts into batch arrays.  Items that are
+    themselves lists (repeated augmentation) are flattened first, so
+    the batch grows to len(items) * num_sample rows
+    (``multiple_samples_collate``, classification_dataset.py:278-300)."""
+    if any(isinstance(it, list) for it in items):
+        items = [x for it in items
+                 for x in (it if isinstance(it, list) else [it])]
     out = {}
     for key in items[0]:
         vals = [it[key] for it in items]

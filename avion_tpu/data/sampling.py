@@ -99,7 +99,11 @@ def load_clip(
         return np.zeros((clip_length, size[1], size[0], 3), np.uint8)
 
     if chunk_len == -1:
-        path = osp.join(root, f"{vid}.{ext}")
+        # video-list metadata (kinetics) carries the extension in vid
+        # already; appending again would silently yield the placeholder
+        fname = vid if vid.lower().endswith(f".{ext}".lower()) \
+            else f"{vid}.{ext}"
+        path = osp.join(root, fname)
         try:
             vr = open_reader(path)
         except DecodeError:

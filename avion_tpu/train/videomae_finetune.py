@@ -39,13 +39,18 @@ class AugmentedK400(VideoClassyDataset):
 
     def __getitem__(self, i):
         item = super().__getitem__(i)
-        if self.is_training:
-            rng = np.random.RandomState()
+        if not self.is_training:
+            return item
+        # repeated augmentation (num_sample>1) yields a list of views;
+        # each gets its own independent RandAugment/erase draw
+        views = item if isinstance(item, list) else [item]
+        rng = np.random.RandomState()
+        for v in views:
             if self.use_randaug:
-                item["video"] = rand_augment_clip(item["video"], rng)
+                v["video"] = rand_augment_clip(v["video"], rng)
             if self.erase_prob > 0:
-                item["video"] = random_erase_clip(item["video"], rng,
-                                                  self.erase_prob)
+                v["video"] = random_erase_clip(v["video"], rng,
+                                               self.erase_prob)
         return item
 
 
@@ -92,7 +97,7 @@ def main(argv=None):
     train_ds = AugmentedK400(
         "kinetics", d.root, d.train_metadata, is_training=True,
         clip_length=d.clip_length, clip_stride=d.clip_stride,
-        threads=d.decode_threads,
+        threads=d.decode_threads, num_sample=d.repeated_aug,
         augment=AugmentSpec(crop_size=d.crop_size, mode="rrc",
                             scale_min=d.scale_min, scale_max=d.scale_max,
                             hflip_prob=0.5),

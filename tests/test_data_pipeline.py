@@ -318,3 +318,44 @@ def test_loader_shm_no_leak_on_early_exit():
     time.sleep(0.2)
     after = set(glob.glob("/dev/shm/*"))
     assert not (after - before), (after - before)
+
+
+def test_repeated_augmentation(tmp_path):
+    """num_sample>1 yields independently-augmented views of each clip,
+    flattened by collate so the batch has B * num_sample rows
+    (classification_dataset.py:118-128,278-300 semantics)."""
+    root = str(tmp_path)
+    for i in range(4):
+        # per-pixel noise so different random crops give different pixels
+        vw = cv2.VideoWriter(osp.join(root, f"v{i}.mp4"),
+                             cv2.VideoWriter_fourcc(*"mp4v"), FPS, (48, 48))
+        for t in range(30):
+            vw.write(np.random.RandomState(100 * i + t).randint(
+                0, 255, (48, 48, 3), np.uint8))
+        vw.release()
+    meta = osp.join(root, "list.txt")
+    open(meta, "w").write(
+        "\n".join(f"v{i}.mp4 {i}" for i in range(4)))
+    from avion_tpu.data.datasets import VideoClassyDataset, collate
+    from avion_tpu.data.loader import DataLoader
+
+    ds = VideoClassyDataset(
+        "kinetics", root, meta, is_training=True, clip_length=2,
+        chunk_len=-1, num_sample=2,
+        augment=AugmentSpec(crop_size=16, mode="rrc"),
+    )
+    item = ds[0]
+    assert isinstance(item, list) and len(item) == 2
+    assert item[0]["label"] == item[1]["label"]
+    assert item[0]["video"].shape == item[1]["video"].shape
+    # different random crops -> (almost surely) different pixels
+    assert not np.array_equal(item[0]["video"], item[1]["video"])
+
+    batch = collate([ds[0], ds[1]])
+    assert batch["video"].shape[0] == 4
+    assert list(batch["label"]) == [0, 0, 1, 1]
+
+    loader = DataLoader(ds, 2, shuffle=False, drop_last=True,
+                        num_workers=0)
+    b = next(iter(loader))
+    assert b["video"].shape[0] == 4  # 2 items x 2 samples
