@@ -49,13 +49,17 @@ def moe_dispatch_masks(
     router_logits: jax.Array,  # [G, g, E] f32
     top_k: int,
     capacity: int,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array, dict]:
     """Returns (dispatch [G, g, E, C] f32, combine [G, g, E, C] f32,
-    aux_loss scalar).
+    aux_loss scalar, stats dict).
 
     Position within each expert's per-group capacity bucket is assigned
     in token order (cumsum over the token dim); tokens past capacity are
-    dropped from that expert.
+    dropped from that expert.  ``stats`` carries router observability
+    (a collapsed router would otherwise be invisible until the loss
+    diverges): ``expert_load`` [E] = fraction of surviving assignments
+    per expert, ``overflow`` = fraction of wanted assignments dropped
+    at capacity, ``density`` [E] = pre-capacity top-1 distribution.
     """
     n_groups, g, e = router_logits.shape
     probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
@@ -87,7 +91,16 @@ def moe_dispatch_masks(
     density = jnp.mean(top1, axis=(0, 1))          # routed fraction/expert
     density_proxy = jnp.mean(probs, axis=(0, 1))   # mean router prob
     aux = jnp.sum(density * density_proxy) * e
-    return dispatch, combine, aux
+
+    assigned = jnp.sum(occupancy, axis=(0, 1))     # kept slots / expert
+    total = jnp.maximum(jnp.sum(assigned), 1.0)
+    wanted = jnp.float32(n_groups * g * top_k)
+    stats = {
+        "expert_load": assigned / total,
+        "overflow": 1.0 - jnp.sum(assigned) / wanted,
+        "density": density,
+    }
+    return dispatch, combine, aux, stats
 
 
 class MoEMlp(nn.Module):
@@ -105,6 +118,7 @@ class MoEMlp(nn.Module):
     top_k: int = 2
     capacity_factor: float = 1.25
     group_size: int = 256  # routing-group tokens (GShard grouping)
+    zloss: bool = True  # sow the router z-loss (weighted at call site)
     act: Callable = nn.gelu
     dtype: Any = jnp.bfloat16
     axis_name: str = EP_AXIS
@@ -138,8 +152,18 @@ class MoEMlp(nn.Module):
             xt = jnp.pad(xt, ((0, t_pad - t), (0, 0)))
         xg = xt.reshape(n_groups, g, w)
         logits = router(xg.astype(jnp.float32))
-        dispatch, combine, aux = moe_dispatch_masks(logits, self.top_k, cap)
+        dispatch, combine, aux, stats = moe_dispatch_masks(
+            logits, self.top_k, cap)
         self.sow("losses", "moe_aux", aux)
+        if self.zloss:
+            # router z-loss (ST-MoE): discourages drifting logit scale
+            z = jnp.mean(jax.nn.logsumexp(logits, axis=-1) ** 2)
+            self.sow("moe_zloss", "z", z)
+        # observability: per-expert load + overflow fraction reach the
+        # train-step metrics (and the logger) via the "metrics"
+        # collection — a collapsed router shows up immediately
+        self.sow("metrics", "moe_expert_load", stats["expert_load"])
+        self.sow("metrics", "moe_overflow", stats["overflow"])
 
         # dispatch: [G,g,W] x [G,g,E,C] -> [E,G,C,W]; annotate the
         # expert dim over "ep" so XLA partitions expert compute and

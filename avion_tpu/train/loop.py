@@ -35,6 +35,9 @@ class Run:
     ckpt: Checkpointer
     logger: MetricLogger
     start_epoch: int = 0
+    # mid-epoch resume: batches of start_epoch already consumed before a
+    # preemption checkpoint (wired to the loader's skip_batches)
+    start_batch: int = 0
 
 
 def setup_run(
@@ -54,17 +57,20 @@ def setup_run(
     logger = MetricLogger(cfg.output_dir, cfg.wandb, cfg.wandb_project,
                           cfg.run_name, cfg.to_dict())
 
-    start_epoch = 0
+    start_epoch, start_batch = 0, 0
     if cfg.resume or cfg.auto_resume:
         restored, extra = ckpt.restore(state)
         if restored is not None:
             state = restored
             start_epoch = (extra or {}).get("epoch", 0)
+            start_batch = (extra or {}).get("batch_in_epoch", 0)
             print(f"[resume] restored step {int(state.step)} "
-                  f"(epoch {start_epoch})")
+                  f"(epoch {start_epoch}"
+                  + (f", batch {start_batch}" if start_batch else "") + ")")
 
     step = jax.jit(step_fn, donate_argnums=(0,))
-    return Run(cfg, mesh, state, tx, step, ckpt, logger, start_epoch)
+    return Run(cfg, mesh, state, tx, step, ckpt, logger, start_epoch,
+               start_batch)
 
 
 def train_one_epoch(
@@ -91,9 +97,24 @@ def train_one_epoch(
 
     import time as _time
 
+    import jax.numpy as jnp
+
+    if run.start_batch and epoch == run.start_epoch \
+            and hasattr(loader, "skip_batches"):
+        # mid-epoch preemption resume: continue at the next batch of the
+        # (deterministically re-seeded) epoch permutation instead of
+        # replaying the whole epoch
+        loader.skip_batches = run.start_batch
+        run.start_batch = 0
+        print(f"[resume] skipping {loader.skip_batches} consumed batches")
+
     it = iter(device_prefetch(loader, run.mesh, depth=2,
                               transform=extra_batch_fn))
     last_metrics: Dict[str, float] = {}
+    # device-side running sums: the epoch summary averages EVERY step
+    # (not the every-print_freq subsample the meters show) at zero sync
+    # cost — the tiny adds chain onto the step's async dispatch
+    msum, mcount = None, 0
     with jax.set_mesh(run.mesh):
         i = -1
         while True:
@@ -106,12 +127,16 @@ def train_one_epoch(
             i += 1
             if preempted():
                 # SIGTERM from the scheduler: checkpoint mid-epoch and
-                # stop; auto-resume picks up from here (submitit-requeue
-                # elasticity, run_with_submit_lavila_pretrain.py:53-59)
-                save_epoch(run, epoch - 1)
+                # stop; auto-resume picks up at batch i of this epoch
+                # (submitit-requeue elasticity,
+                # run_with_submit_lavila_pretrain.py:53-59)
+                save_epoch(run, epoch - 1, batch_in_epoch=i)
                 run.ckpt.wait()
                 break
             run.state, metrics = run.step(run.state, batch, rng)
+            msum = metrics if msum is None else jax.tree_util.tree_map(
+                jnp.add, msum, metrics)
+            mcount += 1
             # fetch metrics to host only at print intervals: a host sync
             # every step would serialize dispatch (and costs a full
             # round-trip on remote-tunnel backends); in between, steps
@@ -136,7 +161,10 @@ def train_one_epoch(
                 )
             if niter_override and i + 1 >= niter_override:
                 break
-    last_metrics = {k: m.avg for k, m in meters.items()}
+    if msum is not None:
+        last_metrics = {k: float(v) / mcount for k, v in msum.items()}
+    else:
+        last_metrics = {k: m.avg for k, m in meters.items()}
     last_metrics.update(timer.stats())
     return last_metrics
 
@@ -156,9 +184,11 @@ def _jsonable(obj):
 
 
 def save_epoch(run: Run, epoch: int, metrics: Optional[dict] = None,
-               is_best: bool = False):
-    run.ckpt.save(
-        int(run.state.step), run.state,
-        extra=_jsonable({"epoch": epoch + 1, "config": run.cfg.to_dict(),
-                         "metrics": metrics or {}, "is_best": is_best}),
-    )
+               is_best: bool = False, batch_in_epoch: int = 0):
+    """``batch_in_epoch > 0`` marks a mid-epoch (preemption) checkpoint:
+    resume re-enters epoch ``epoch + 1`` skipping that many batches."""
+    extra = {"epoch": epoch + 1, "config": run.cfg.to_dict(),
+             "metrics": metrics or {}, "is_best": is_best}
+    if batch_in_epoch:
+        extra["batch_in_epoch"] = int(batch_in_epoch)
+    run.ckpt.save(int(run.state.step), run.state, extra=_jsonable(extra))

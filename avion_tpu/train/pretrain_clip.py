@@ -131,7 +131,8 @@ def main(argv=None):
     step_fn = make_clip_train_step(
         model, tx, label_smoothing=cfg.label_smoothing,
         crop_size=cfg.data.crop_size,
-        moe_aux_weight=cfg.model.moe_aux_weight)
+        moe_aux_weight=cfg.model.moe_aux_weight,
+        moe_zloss_weight=cfg.model.moe_zloss_weight)
     run = setup_run(cfg, params, tx, step_fn)
 
     rng = jax.random.PRNGKey(cfg.seed + 1)

