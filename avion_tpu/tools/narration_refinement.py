@@ -91,6 +91,115 @@ def refine_samples(
     return results
 
 
+def temporal_iou(a: Tuple[float, float], b: Tuple[float, float]) -> float:
+    """IoU of two [start, end] spans
+    (``merge_results_multiple_responses.py:135-163``)."""
+    inter = max(0.0, min(a[1], b[1]) - max(a[0], b[0]))
+    union = max(a[1], b[1]) - min(a[0], b[0])
+    return inter / union if union > 0 else 0.0
+
+
+def cluster_spans(spans: Sequence[Tuple[float, float]],
+                  distance_threshold: float = 0.1) -> List[int]:
+    """Average-linkage agglomerative clustering on the 1-IoU distance
+    (the reference's sklearn AgglomerativeClustering with precomputed
+    metric, ``merge_results_multiple_responses.py:304-313``) — clusters
+    merge while their average pairwise distance stays below the
+    threshold.  Returns a label per span."""
+    n = len(spans)
+    dist = np.zeros((n, n))
+    for i in range(n):
+        for j in range(i + 1, n):
+            dist[i, j] = dist[j, i] = 1.0 - temporal_iou(spans[i], spans[j])
+    clusters: List[List[int]] = [[i] for i in range(n)]
+    while len(clusters) > 1:
+        best, bi, bj = None, -1, -1
+        for i in range(len(clusters)):
+            for j in range(i + 1, len(clusters)):
+                d = float(np.mean([dist[a, b] for a in clusters[i]
+                                   for b in clusters[j]]))
+                if best is None or d < best:
+                    best, bi, bj = d, i, j
+        if best is None or best >= distance_threshold:
+            break
+        clusters[bi] = clusters[bi] + clusters[bj]
+        del clusters[bj]
+    labels = [0] * n
+    for c, members in enumerate(clusters):
+        for m in members:
+            labels[m] = c
+    return labels
+
+
+def merge_multi_responses(
+    item: RefineItem,
+    candidates: Sequence[Optional[dict]],
+    *,
+    distance_threshold: float = 0.1,
+) -> dict:
+    """Consensus over N sampled refinements for one caption
+    (``merge_results_multiple_responses.py:270-340``): keep valid spans
+    (start < end, non-negative), cluster by temporal IoU, take the
+    majority cluster's centroid.  Fewer than two valid responses falls
+    back to the original span.  The caption stays the original (the
+    reference's multi-response merge refines boundaries only)."""
+    spans = []
+    for out in candidates:
+        if not out or "start" not in out or "end" not in out:
+            continue
+        try:
+            s, e = float(out["start"]), float(out["end"])
+        except (TypeError, ValueError):
+            continue
+        if s < 0 or e < 0 or s > e:
+            continue
+        spans.append((s, e))
+    rec = {"vid": item.vid, "orig_start": item.start, "orig_end": item.end,
+           "caption": item.caption, "n_valid": len(spans), "refined": False}
+    if len(spans) < 2:
+        rec.update(start=item.start, end=item.end)
+        return rec
+    labels = cluster_spans(spans, distance_threshold)
+    counts: Dict[int, int] = {}
+    for lab in labels:
+        counts[lab] = counts.get(lab, 0) + 1
+    major = max(counts, key=lambda k: counts[k])
+    members = [spans[i] for i, lab in enumerate(labels) if lab == major]
+    s = float(np.mean([m[0] for m in members]))
+    e = float(np.mean([m[1] for m in members]))
+    s = max(item.window_start, s)
+    e = min(item.window_end, e) if item.window_end > 0 else e
+    if e > s:
+        rec.update(start=s, end=e, refined=True,
+                   n_majority=len(members))
+    else:
+        rec.update(start=item.start, end=item.end)
+    return rec
+
+
+def refine_samples_multi(
+    items: Sequence[RefineItem],
+    infer_multi: Callable[[RefineItem], Sequence[Optional[dict]]],
+    *,
+    distance_threshold: float = 0.1,
+) -> List[dict]:
+    """Multi-response variant of :func:`refine_samples`
+    (``vllm_refine_multiple_captions.py`` samples n=10 candidates per
+    caption at temperature 0.7; the merge votes by IoU clustering).
+    ``infer_multi(item)`` returns a list of candidate dicts."""
+    results = []
+    for i, item in enumerate(items):
+        try:
+            candidates = list(infer_multi(item) or [])
+        except Exception:
+            candidates = []
+        rec = merge_multi_responses(item, candidates,
+                                    distance_threshold=distance_threshold)
+        rec["index"] = i
+        results.append(rec)
+    return results
+
+
 def merge_to_train_pkl(
     results: Sequence[dict],
     output_path: str,

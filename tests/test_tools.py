@@ -194,3 +194,58 @@ def test_phase2_group_captions_and_apply():
     assert len(merged) == 5
     assert spans["u1"][2:5] == (0.0, 3.0, "opens the drawer")
     assert spans["u3"][2:4] == (5.0, 6.0)
+
+
+def test_multi_response_refinement_majority_vote():
+    """N sampled refinements merge by IoU clustering: the majority
+    cluster's centroid wins, outliers are ignored, <2 valid responses
+    fall back to the original span
+    (vllm_refine_multiple_captions.py + merge_results_multiple_responses.py)."""
+    from avion_tpu.tools.narration_refinement import (
+        RefineItem,
+        cluster_spans,
+        merge_multi_responses,
+        refine_samples_multi,
+        temporal_iou,
+    )
+
+    assert temporal_iou((0, 2), (0, 2)) == 1.0
+    assert temporal_iou((0, 1), (2, 3)) == 0.0
+
+    # 3 near-identical spans + 1 outlier -> two clusters, majority of 3
+    labels = cluster_spans([(10.0, 12.0), (10.05, 12.0), (10.0, 11.95),
+                            (30.0, 40.0)])
+    assert labels[0] == labels[1] == labels[2] != labels[3]
+
+    item = RefineItem(vid="v", start=9.0, end=13.0, caption="opens door",
+                      window_start=0.0, window_end=60.0)
+    cands = [{"start": 10.0, "end": 12.0}, {"start": 10.05, "end": 12.0},
+             {"start": 10.0, "end": 11.95}, {"start": 30.0, "end": 40.0},
+             {"start": 5.0, "end": 1.0},   # inverted: invalid
+             None, {"bogus": 1}]
+    rec = merge_multi_responses(item, cands)
+    assert rec["refined"] and rec["n_valid"] == 4 and rec["n_majority"] == 3
+    np.testing.assert_allclose(rec["start"], np.mean([10.0, 10.05, 10.0]),
+                               atol=1e-6)
+    np.testing.assert_allclose(rec["end"], np.mean([12.0, 12.0, 11.95]),
+                               atol=1e-6)
+    # caption preserved (multi-response merge refines boundaries only)
+    assert rec["caption"] == "opens door"
+
+    # <2 valid -> fallback to original
+    rec2 = merge_multi_responses(item, [{"start": 10.0, "end": 12.0}, None])
+    assert not rec2["refined"]
+    assert rec2["start"] == 9.0 and rec2["end"] == 13.0
+
+    # end-to-end over synthetic multi-response records
+    items = [item, RefineItem(vid="w", start=1.0, end=2.0, caption="c2",
+                              window_start=0.0, window_end=20.0)]
+
+    def infer_multi(it):
+        if it.vid == "v":
+            return cands
+        raise RuntimeError("llm down")  # -> fallback
+
+    out = refine_samples_multi(items, infer_multi)
+    assert out[0]["refined"] and not out[1]["refined"]
+    assert out[1]["start"] == 1.0 and out[1]["end"] == 2.0
