@@ -299,3 +299,205 @@ def test_openai_vitb16_import_full_scale(tmp_path):
                                atol=2e-4, rtol=2e-4)
     np.testing.assert_allclose(float(out["logit_scale"]), math.exp(4.0),
                                rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions (VERDICT r2 #6): the same fabricated-checkpoint
+# full-scale parity for CLIP_VITL14 and for the VideoMAE qkv->Wqkv remap
+# (reference: scripts/main_videomae_finetune.py:183-209), hardening the
+# import path for every released-weight family ahead of real downloads.
+# ---------------------------------------------------------------------------
+
+
+def _make_openai_clip_state(rs, *, width, layers, heads, patch, grid,
+                            text_width, text_layers, embed):
+    def r(*shape, scale=0.02):
+        return torch.from_numpy(rs.randn(*shape).astype(np.float32) * scale)
+
+    sd = {
+        "visual.conv1.weight": r(width, 3, patch, patch),
+        "visual.class_embedding": r(width),
+        "visual.positional_embedding": r(grid * grid + 1, width),
+        "visual.ln_pre.weight": 1 + r(width), "visual.ln_pre.bias": r(width),
+        "visual.ln_post.weight": 1 + r(width),
+        "visual.ln_post.bias": r(width),
+        "visual.proj": r(width, embed),
+        "token_embedding.weight": r(49408, text_width),
+        "positional_embedding": r(77, text_width),
+        "ln_final.weight": 1 + r(text_width), "ln_final.bias": r(text_width),
+        "text_projection": r(text_width, embed),
+        "logit_scale": torch.tensor(4.0),
+    }
+    for tower, w_, l_ in (("visual.", width, layers), ("", text_width,
+                                                      text_layers)):
+        for i in range(l_):
+            p = f"{tower}transformer.resblocks.{i}"
+            sd[f"{p}.ln_1.weight"] = 1 + r(w_)
+            sd[f"{p}.ln_1.bias"] = r(w_)
+            sd[f"{p}.ln_2.weight"] = 1 + r(w_)
+            sd[f"{p}.ln_2.bias"] = r(w_)
+            sd[f"{p}.attn.in_proj_weight"] = r(3 * w_, w_)
+            sd[f"{p}.attn.in_proj_bias"] = r(3 * w_)
+            sd[f"{p}.attn.out_proj.weight"] = r(w_, w_)
+            sd[f"{p}.attn.out_proj.bias"] = r(w_)
+            sd[f"{p}.mlp.c_fc.weight"] = r(4 * w_, w_)
+            sd[f"{p}.mlp.c_fc.bias"] = r(4 * w_)
+            sd[f"{p}.mlp.c_proj.weight"] = r(w_, 4 * w_)
+            sd[f"{p}.mlp.c_proj.bias"] = r(w_)
+    return sd
+
+
+@pytest.mark.slow
+def test_openai_vitl14_import_full_scale(tmp_path):
+    """Full ViT-L/14 (24x1024 visual, 12x768 text, patch 14): fabricated
+    OpenAI-format .pt -> import_clip_pt -> CLIP_VITL14 forward == torch
+    execution of the original weights."""
+    import torch.nn.functional as F
+
+    from avion_tpu.models import create_model
+    from avion_tpu.models.pt_import import import_clip_pt, merge_into_params
+
+    rs = np.random.RandomState(7)
+    W, L, H, TW, TL, TH = 1024, 24, 16, 768, 12, 12
+    sd = _make_openai_clip_state(rs, width=W, layers=L, heads=H, patch=14,
+                                 grid=16, text_width=TW, text_layers=TL,
+                                 embed=768)
+    pt = str(tmp_path / "openai_vitl14.pt")
+    torch.save(sd, pt)
+
+    model = create_model("CLIP_VITL14", num_frames=1, use_flash_attn=False,
+                         project_embed_dim=768, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    video = np.asarray(
+        jax.random.normal(rng, (1, 1, 224, 224, 3), jnp.float32))
+    tokens = np.zeros((2, 77), np.int64)
+    tokens[0, :4] = [49406, 320, 1125, 49407]
+    tokens[1, :3] = [49406, 512, 49407]
+    params = model.init(rng, jnp.asarray(video),
+                        jnp.asarray(tokens, jnp.int32))["params"]
+    imported = import_clip_pt(pt, num_frames=1)
+    params = merge_into_params(params, imported, strict=False)
+    out = model.apply({"params": params}, jnp.asarray(video),
+                      jnp.asarray(tokens, jnp.int32))
+
+    with torch.no_grad():
+        x = torch.from_numpy(video[:, 0]).permute(0, 3, 1, 2)
+        x = F.conv2d(x, sd["visual.conv1.weight"], stride=14)
+        x = x.flatten(2).transpose(1, 2)
+        cls = sd["visual.class_embedding"].expand(1, 1, W)
+        x = torch.cat([cls, x], dim=1) + sd["visual.positional_embedding"]
+        x = F.layer_norm(x, (W,), sd["visual.ln_pre.weight"],
+                         sd["visual.ln_pre.bias"], eps=1e-5)
+        for i in range(L):
+            x = _torch_openai_block(x, sd,
+                                    f"visual.transformer.resblocks.{i}", H)
+        pooled = F.layer_norm(x[:, 0], (W,), sd["visual.ln_post.weight"],
+                              sd["visual.ln_post.bias"], eps=1e-5)
+        timg = F.normalize(pooled @ sd["visual.proj"], dim=-1)
+
+        tt = torch.from_numpy(tokens)
+        y = sd["token_embedding.weight"][tt] + sd["positional_embedding"]
+        mask = torch.triu(torch.full((77, 77), float("-inf")), diagonal=1)
+        for i in range(TL):
+            y = _torch_openai_block(y, sd, f"transformer.resblocks.{i}", TH,
+                                    mask)
+        y = F.layer_norm(y, (TW,), sd["ln_final.weight"],
+                         sd["ln_final.bias"], eps=1e-5)
+        pooled = y[torch.arange(2), tt.argmax(dim=-1)]
+        ttxt = F.normalize(pooled @ sd["text_projection"], dim=-1)
+
+    np.testing.assert_allclose(np.asarray(out["image_embed"]), timg.numpy(),
+                               atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(out["text_embed"]), ttxt.numpy(),
+                               atol=5e-4, rtol=5e-4)
+
+
+@pytest.mark.slow
+def test_videomae_qkv_remap_full_scale(tmp_path):
+    """Full ViT-B VideoMAE finetune: a timm-format state dict with
+    split q/v biases (k bias implicitly zero) and a Conv3d tube embed
+    goes through import_videomae_pt (the reference's qkv->Wqkv remap,
+    main_videomae_finetune.py:183-209) and the flax forward matches a
+    torch execution of the original weights."""
+    import torch.nn.functional as F
+
+    from avion_tpu.models import create_model
+    from avion_tpu.models.pt_import import (import_videomae_pt,
+                                            merge_into_params)
+    from avion_tpu.models.videomae import sincos_pos_embed
+
+    rs = np.random.RandomState(11)
+    W, L, H, T, NC = 768, 12, 12, 2, 400
+
+    def r(*shape, scale=0.02):
+        return torch.from_numpy(rs.randn(*shape).astype(np.float32) * scale)
+
+    sd = {
+        "patch_embed.proj.weight": r(W, 3, 2, 16, 16),
+        "patch_embed.proj.bias": r(W),
+        "fc_norm.weight": 1 + r(W), "fc_norm.bias": r(W),
+        "head.weight": r(NC, W), "head.bias": r(NC),
+    }
+    for i in range(L):
+        p = f"blocks.{i}"
+        sd[f"{p}.norm1.weight"] = 1 + r(W)
+        sd[f"{p}.norm1.bias"] = r(W)
+        sd[f"{p}.norm2.weight"] = 1 + r(W)
+        sd[f"{p}.norm2.bias"] = r(W)
+        sd[f"{p}.attn.qkv.weight"] = r(3 * W, W)
+        sd[f"{p}.attn.q_bias"] = r(W)
+        sd[f"{p}.attn.v_bias"] = r(W)
+        sd[f"{p}.attn.proj.weight"] = r(W, W)
+        sd[f"{p}.attn.proj.bias"] = r(W)
+        sd[f"{p}.mlp.fc1.weight"] = r(4 * W, W)
+        sd[f"{p}.mlp.fc1.bias"] = r(4 * W)
+        sd[f"{p}.mlp.fc2.weight"] = r(W, 4 * W)
+        sd[f"{p}.mlp.fc2.bias"] = r(W)
+    pt = str(tmp_path / "videomae_ft.pt")
+    torch.save(sd, pt)
+
+    model = create_model("VIDEOMAE_VITB16_FT", num_frames=T,
+                         num_classes=NC, use_flash_attn=False,
+                         drop_path_rate=0.0, dtype=jnp.float32)
+    video = np.asarray(jax.random.normal(
+        jax.random.PRNGKey(1), (1, T, 224, 224, 3), jnp.float32))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.asarray(video))["params"]
+    params = merge_into_params(params, import_videomae_pt(pt), strict=False)
+    ours = np.asarray(model.apply({"params": params}, jnp.asarray(video)))
+
+    with torch.no_grad():
+        x = torch.from_numpy(video).permute(0, 4, 1, 2, 3)  # B,C,T,H,W
+        x = F.conv3d(x, sd["patch_embed.proj.weight"],
+                     sd["patch_embed.proj.bias"], stride=(2, 16, 16))
+        x = x.flatten(2).transpose(1, 2)  # B, T/2*14*14, W
+        pos = torch.from_numpy(
+            np.asarray(sincos_pos_embed(x.shape[1], W), np.float32))
+        x = x + pos[None]
+        for i in range(L):
+            p = f"blocks.{i}"
+            h = F.layer_norm(x, (W,), sd[f"{p}.norm1.weight"],
+                             sd[f"{p}.norm1.bias"], eps=1e-5)
+            bias = torch.cat([sd[f"{p}.attn.q_bias"], torch.zeros(W),
+                              sd[f"{p}.attn.v_bias"]])
+            qkv = h @ sd[f"{p}.attn.qkv.weight"].T + bias
+            q, k, v = qkv.chunk(3, dim=-1)
+            b, s, _ = q.shape
+            d = W // H
+            split = lambda t: t.view(b, s, H, d).transpose(1, 2)
+            q, k, v = split(q), split(k), split(v)
+            att = torch.softmax(q @ k.transpose(-1, -2) / math.sqrt(d), -1)
+            o = (att @ v).transpose(1, 2).reshape(b, s, W)
+            x = x + (o @ sd[f"{p}.attn.proj.weight"].T
+                     + sd[f"{p}.attn.proj.bias"])
+            h = F.layer_norm(x, (W,), sd[f"{p}.norm2.weight"],
+                             sd[f"{p}.norm2.bias"], eps=1e-5)
+            h = F.gelu(h @ sd[f"{p}.mlp.fc1.weight"].T
+                       + sd[f"{p}.mlp.fc1.bias"])
+            x = x + h @ sd[f"{p}.mlp.fc2.weight"].T + sd[f"{p}.mlp.fc2.bias"]
+        pooled = x.mean(dim=1)
+        pooled = F.layer_norm(pooled, (W,), sd["fc_norm.weight"],
+                              sd["fc_norm.bias"], eps=1e-5)
+        ref = pooled @ sd["head.weight"].T + sd["head.bias"]
+
+    np.testing.assert_allclose(ours, ref.numpy(), atol=5e-4, rtol=5e-4)
