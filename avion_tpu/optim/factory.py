@@ -93,6 +93,34 @@ def apply_batch_lr_scale(cfg, global_batch: int, default_base: int = 0):
     return cfg.lr
 
 
+def cast_opt_state(tx: optax.GradientTransformation,
+                   dtype) -> optax.GradientTransformation:
+    """Hold float optimizer state (Adam mu/nu, momentum) in ``dtype``
+    between steps; updates run in f32.  Halves optimizer HBM at
+    bf16 — the lever that fits batch 256 on one chip (VERDICT r2 #2).
+    Integer state (step counts) is untouched."""
+    dtype = jnp.dtype(dtype)
+
+    def down(t):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+
+    def up(t):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, "dtype") and x.dtype == dtype else x, t)
+
+    def init(params):
+        return down(tx.init(params))
+
+    def update(updates, state, params=None):
+        updates, new_state = tx.update(updates, up(state), params)
+        return updates, down(new_state)
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(
     cfg,
     params,
@@ -137,6 +165,9 @@ def build_optimizer(
             scale_by_tree(layer_decay_scales(params, num_layers, cfg.layer_decay))
         )
     tx = optax.chain(*parts) if len(parts) > 1 else parts[0]
+    state_dtype = getattr(cfg, "state_dtype", "float32")
+    if state_dtype and state_dtype != "float32":
+        tx = cast_opt_state(tx, state_dtype)
     if cfg.update_freq > 1:
         # correct gradient accumulation (the reference's accum path is
         # broken/dead — main_lavila_pretrain.py:821-859)

@@ -245,3 +245,51 @@ def test_selfattention_fused_model_path_matches_reference(rng, monkeypatch):
                           jax.tree_util.tree_leaves(g_fast)):
             np.testing.assert_allclose(np.asarray(vb), np.asarray(va),
                                        atol=5e-4, rtol=5e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("pad_mode", ["zero", "bias"])
+def test_fused_qkv_combined_bwd_matches_split(rng, causal, pad_mode):
+    """The single-program combined backward (shared score recompute,
+    VERDICT r2 #1) produces the same dqkv as the split dq/dkv kernels
+    and as XLA autodiff."""
+    import importlib
+
+    # (plain `import ... as` would bind the identically-named function
+    # re-exported by the ops package, not the module)
+    fam = importlib.import_module("avion_tpu.ops.flash_attention")
+
+    s, h, d = 150, 2, 64
+    qkv_p, *_ = _mk_fused(rng, b=1, s=s, h=h, d=d, pad_mode=pad_mode)
+    w = h * d
+
+    def loss_fused(qkv_p):
+        o = fam.flash_attention_fused_qkv(qkv_p, h, s, causal=causal,
+                                         interpret=True)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_ref(qkv_p):
+        b = qkv_p.shape[0]
+        unpack = lambda t: t.reshape(b, s, h, d)
+        o = xla_attention(unpack(qkv_p[:, :s, :w]),
+                          unpack(qkv_p[:, :s, w : 2 * w]),
+                          unpack(qkv_p[:, :s, 2 * w :]), causal=causal)
+        return jnp.sum(o * jnp.cos(o))
+
+    old = fam._COMBINED_BWD
+    try:
+        fam._COMBINED_BWD = False
+        g_split = jax.grad(loss_fused)(qkv_p)
+        fam._COMBINED_BWD = True
+        g_comb = jax.grad(loss_fused)(qkv_p)
+    finally:
+        fam._COMBINED_BWD = old
+    g_ref = jax.grad(loss_ref)(qkv_p)
+    np.testing.assert_allclose(np.asarray(g_comb[:, :s]),
+                               np.asarray(g_split[:, :s]),
+                               atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(g_comb[:, :s]),
+                               np.asarray(g_ref[:, :s]),
+                               atol=5e-4, rtol=5e-4)
+    np.testing.assert_array_equal(np.asarray(g_comb[:, s:]),
+                                  np.zeros_like(np.asarray(g_comb[:, s:])))
