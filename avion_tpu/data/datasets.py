@@ -89,6 +89,7 @@ class VideoCaptionDataset(_PicklableCache):
         context_length: int = 77,
         narration_selection: str = "random",
         subsample_stride: Optional[int] = None,
+        decode_fast: Optional[bool] = None,
     ):
         self.dataset = dataset
         self.root = root
@@ -101,6 +102,9 @@ class VideoCaptionDataset(_PicklableCache):
             mode="rrc" if is_training else "center")
         self.context_length = context_length
         self.narration_selection = narration_selection
+        # fast decode profile (loop filter skip + fast sws) for the
+        # training augmentation path; eval keeps exact decode
+        self.decode_fast = is_training if decode_fast is None else decode_fast
 
         if dataset == "ego4d":
             self.samples = md.load_ego4d(metadata_path)
@@ -133,7 +137,7 @@ class VideoCaptionDataset(_PicklableCache):
                 chunk_len=self.chunk_len, fps=fps,
                 clip_length=self.clip_length, threads=self.threads,
                 crop=CropSpec(), out_size=size, jitter=self.is_training,
-                rng=rng, reader_cache=self._cache,
+                rng=rng, reader_cache=self._cache, fast=self.decode_fast,
             )
             c = sample_rrc(rng, (self.augment.scale_min,
                                  self.augment.scale_max),
@@ -146,7 +150,7 @@ class VideoCaptionDataset(_PicklableCache):
             chunk_len=self.chunk_len, fps=fps,
             clip_length=self.clip_length, threads=self.threads, crop=crop,
             out_size=size, jitter=self.is_training, rng=rng,
-            reader_cache=self._cache,
+            reader_cache=self._cache, fast=self.decode_fast,
         )
         return frames, None, None
 
@@ -201,6 +205,7 @@ class VideoClassyDataset(_PicklableCache):
         sparse_sample: bool = False,
         label_mapping: Optional[dict] = None,
         num_sample: int = 1,
+        decode_fast: Optional[bool] = None,
     ):
         self.dataset = dataset
         self.root = root
@@ -216,6 +221,7 @@ class VideoClassyDataset(_PicklableCache):
         self.num_crops = num_crops
         self.sparse_sample = sparse_sample
         self.label_mapping = label_mapping
+        self.decode_fast = is_training if decode_fast is None else decode_fast
         # repeated augmentation: each training item yields num_sample
         # independently-augmented views of the same clip, flattened into
         # the batch by collate (``classification_dataset.py:118-128,
@@ -266,7 +272,7 @@ class VideoClassyDataset(_PicklableCache):
                     s.start, s.end, chunk_len=self.chunk_len, fps=s.fps,
                     clip_length=self.clip_length, threads=self.threads,
                     crop=crop, out_size=size, jitter=True, rng=rng,
-                    reader_cache=self._cache,
+                    reader_cache=self._cache, fast=self.decode_fast,
                 )
                 views.append({"video": frames, "label": self._label(s)})
             return views if self.num_sample > 1 else views[0]
@@ -378,6 +384,7 @@ class KineticsDataset(_PicklableCache):
         mask_ratio: float = 0.9,
         augment: Optional[AugmentSpec] = None,
         is_training: bool = True,
+        decode_fast: Optional[bool] = None,
     ):
         self.root = root
         self.samples = md.load_video_list(metadata_path)
@@ -390,6 +397,7 @@ class KineticsDataset(_PicklableCache):
         self.mask_ratio = mask_ratio
         self.is_training = is_training
         self.augment = augment or AugmentSpec(mode="msc", hflip_prob=0.5)
+        self.decode_fast = is_training if decode_fast is None else decode_fast
 
     def __len__(self):
         return len(self.samples)
@@ -399,7 +407,8 @@ class KineticsDataset(_PicklableCache):
         s = self.samples[i]
         path = s.vid if osp.isabs(s.vid) else osp.join(self.root, s.vid)
         try:
-            vr = VideoReader(path, num_threads=self.threads)
+            vr = VideoReader(path, num_threads=self.threads,
+                             fast=self.decode_fast)
             ids = strided_frame_ids(len(vr), self.clip_length,
                                     self.clip_stride, self.is_training, rng)
             crop = self.augment.sample(rng, vr.width, vr.height)

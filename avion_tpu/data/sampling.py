@@ -76,6 +76,7 @@ def load_clip(
     jitter: bool = False,
     rng: Optional[np.random.RandomState] = None,
     reader_cache: Optional[dict] = None,
+    fast: bool = False,
 ) -> np.ndarray:
     """Load a [T, H, W, 3] uint8 clip spanning [second, end_second).
 
@@ -87,7 +88,7 @@ def load_clip(
     def open_reader(path):
         if reader_cache is not None and path in reader_cache:
             return reader_cache[path]
-        vr = VideoReader(path, num_threads=threads)
+        vr = VideoReader(path, num_threads=threads, fast=fast)
         if reader_cache is not None:
             if len(reader_cache) > 32:
                 reader_cache.clear()

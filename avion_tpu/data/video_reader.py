@@ -100,6 +100,13 @@ def _native_lib():
     lib.avd_write_test_video.restype = ctypes.c_int
     lib.avd_write_test_video.argtypes = [ctypes.c_char_p] + \
         [ctypes.c_int] * 6
+    try:
+        lib.avd_write_test_video_codec.restype = ctypes.c_int
+        lib.avd_write_test_video_codec.argtypes = \
+            [ctypes.c_char_p] + [ctypes.c_int] * 6 + [ctypes.c_char_p] \
+            + [ctypes.c_int]
+    except AttributeError:
+        pass
     _lib = lib
     return _lib
 
@@ -109,15 +116,21 @@ def native_available() -> bool:
 
 
 def write_test_video(path: str, n_frames: int, w: int = 64, h: int = 64,
-                     fps: int = 30, gop: int = 30, bframes: int = 2) -> None:
+                     fps: int = 30, gop: int = 30, bframes: int = 2,
+                     codec: str = "", noise: bool = False) -> None:
     """Encode a deterministic mpeg4 test clip (B-frames + sparse
     keyframes) — fixture generator for the decoder's fast-forward and
     keyframe walk-back paths (no H.264 encoder ships in this image)."""
     lib = _native_lib()
     if lib is None:
         raise DecodeError("native decode library unavailable")
-    rc = lib.avd_write_test_video(path.encode(), n_frames, w, h, fps, gop,
-                                  bframes)
+    if (codec or noise) and hasattr(lib, "avd_write_test_video_codec"):
+        rc = lib.avd_write_test_video_codec(path.encode(), n_frames, w, h,
+                                            fps, gop, bframes,
+                                            codec.encode(), int(noise))
+    else:
+        rc = lib.avd_write_test_video(path.encode(), n_frames, w, h, fps,
+                                      gop, bframes)
     if rc != 0:
         raise DecodeError(lib.avd_last_error(None).decode("utf-8", "replace"))
 

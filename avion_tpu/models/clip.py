@@ -48,6 +48,7 @@ class CLIP(nn.Module):
     moe_experts: int = 0  # V-MoE visual tower (expert-parallel MLPs)
     pipeline: bool = False  # GPipe the visual tower over mesh.pp
     pipeline_microbatches: int = 8
+    input_norm: str = "none"  # uint8-in-stem normalize (see vit.py)
     freeze_temperature: bool = False
     temperature_init: float = 0.07
     dtype: Any = jnp.bfloat16
@@ -66,6 +67,7 @@ class CLIP(nn.Module):
             moe_experts=self.moe_experts,
             pipeline=self.pipeline,
             pipeline_microbatches=self.pipeline_microbatches,
+            input_norm=self.input_norm,
         )
         self.textual = TextTransformer(
             context_length=self.context_length, vocab_size=self.vocab_size,

@@ -53,6 +53,7 @@ def _clip_factory(
         moe_experts: int = 0,
         pipeline: bool = False,
         pipeline_microbatches: int = 8,
+        input_norm: str = "none",
         patch_dropout: float = 0.0,
         pooling: str = "cls",
         freeze_temperature: bool = False,
@@ -85,6 +86,7 @@ def _clip_factory(
             moe_experts=moe_experts,
             pipeline=pipeline,
             pipeline_microbatches=pipeline_microbatches,
+            input_norm=input_norm,
             freeze_temperature=freeze_temperature,
             temperature_init=temperature_init,
             dtype=dtype if dtype is not None else jnp.bfloat16,
@@ -145,6 +147,7 @@ def _clip_tiny(
     moe_experts: int = 0,
     pipeline: bool = False,
     pipeline_microbatches: int = 2,
+    input_norm: str = "none",
     dtype=None,
     **_unused,
 ):
@@ -161,6 +164,7 @@ def _clip_tiny(
         use_flash=use_flash_attn, remat=use_grad_checkpointing,
         remat_policy=remat_policy, moe_experts=moe_experts,
         pipeline=pipeline, pipeline_microbatches=pipeline_microbatches,
+        input_norm=input_norm,
         dtype=dtype if dtype is not None else jnp.float32,
     )
 

@@ -60,6 +60,12 @@ class VisionTransformer(nn.Module):
     # via parallel/pipeline.{stack,unstack}_block_params)
     pipeline: bool = False
     pipeline_microbatches: int = 8
+    # uint8 inputs normalize INSIDE the (rematerialized) stem: the only
+    # video tensor held for the backward is then the uint8 batch itself
+    # (4x smaller than bf16 + no separate normalized copy) — an HBM
+    # lever for batch 256.  "none" keeps the external-normalize contract
+    # (float inputs always pass through unchanged).
+    input_norm: str = "none"  # none | openai | imagenet
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -69,7 +75,17 @@ class VisionTransformer(nn.Module):
         p = self.patch_size
         gh, gw = h // p, w // p
         n = gh * gw
-        x = x.astype(self.dtype)
+        norm_stats = None
+        if self.input_norm != "none" and x.dtype == jnp.uint8:
+            from avion_tpu.data.transforms import (IMAGENET_MEAN,
+                                                   IMAGENET_STD, OPENAI_MEAN,
+                                                   OPENAI_STD)
+
+            norm_stats = ((OPENAI_MEAN, OPENAI_STD)
+                          if self.input_norm == "openai"
+                          else (IMAGENET_MEAN, IMAGENET_STD))
+        else:
+            x = x.astype(self.dtype)
 
         # fast patchify: [B,T,gh,p,gw,p,C] -> [B, T, gh*gw, p*p*C] -> Dense
         conv1 = nn.Dense(self.width, use_bias=False, dtype=self.dtype,
@@ -77,6 +93,10 @@ class VisionTransformer(nn.Module):
         conv1(jnp.zeros((1, p * p * c), self.dtype))  # create params
 
         def stem(kernel, v):
+            if norm_stats is not None:
+                mean = jnp.asarray(norm_stats[0], jnp.float32) * 255.0
+                std = jnp.asarray(norm_stats[1], jnp.float32) * 255.0
+                v = ((v.astype(jnp.float32) - mean) / std).astype(self.dtype)
             v = v.reshape(b, t, gh, p, gw, p, c)
             v = v.transpose(0, 1, 2, 4, 3, 5, 6)
             v = v.reshape(b, t, n, p * p * c)

@@ -38,12 +38,13 @@ def make_test_video(path: str, seconds: int = 15, fps: int = 30,
 
 def bench_reader(path: str, *, backend: str, clips: int = 50,
                  clip_length: int = 4, crop_size: int = 224,
-                 threads: int = 4):
+                 threads: int = 4, fast: bool = False):
     from avion_tpu.data.sampling import get_frame_ids
     from avion_tpu.data.transforms import sample_rrc
     from avion_tpu.data.video_reader import VideoReader
 
-    vr = VideoReader(path, num_threads=threads, backend=backend)
+    vr = VideoReader(path, num_threads=threads, backend=backend,
+                     fast=fast)
     n = len(vr)
     rng = np.random.RandomState(0)
     # warmup
@@ -82,6 +83,9 @@ def main(argv=None):
         out["native_fps"] = round(bench_reader(
             path, backend="native", clips=args.clips,
             threads=args.threads), 1)
+        out["native_fast_fps"] = round(bench_reader(
+            path, backend="native", clips=args.clips,
+            threads=args.threads, fast=True), 1)
     out["cv2_fps"] = round(bench_reader(
         path, backend="cv2", clips=args.clips, threads=args.threads), 1)
     if "native_fps" in out and out["cv2_fps"]:
@@ -99,6 +103,9 @@ def main(argv=None):
         out["native_bframe_fps"] = round(bench_reader(
             bf.name, backend="native", clips=args.clips,
             threads=args.threads), 1)
+        out["native_bframe_fast_fps"] = round(bench_reader(
+            bf.name, backend="native", clips=args.clips,
+            threads=args.threads, fast=True), 1)
         os.unlink(bf.name)
     print(json.dumps(out))
     if tmp:

@@ -36,9 +36,13 @@ import numpy as np
 def make_chunked_dataset(root: str, n_videos: int = 8, chunk_len: int = 15,
                          fps: int = 30, w: int = 456, h: int = 256,
                          n_chunks: int = 2):
-    """Synthetic ego4d-style chunked videos (moving pattern — encodes at
-    realistic bitrates, unlike noise) + metadata pkl."""
-    import cv2
+    """Synthetic ego4d-style chunked videos + metadata pkl.
+
+    Chunks are x264-default H.264 (textured content, forced B-frame
+    cadence — the realistic production re-encode the reference's
+    dataset prep produces; see docs/DATASETS.md) when libx264 is
+    available, else cv2 mp4v."""
+    from avion_tpu.data.video_reader import native_available, write_test_video
 
     rs = np.random.RandomState(0)
     samples = []
@@ -46,19 +50,26 @@ def make_chunked_dataset(root: str, n_videos: int = 8, chunk_len: int = 15,
         vid = f"vid{v}"
         d = osp.join(root, f"{vid}.mp4")
         os.makedirs(d, exist_ok=True)
-        base = rs.randint(0, 255, (h, w, 3), np.uint8)
-        base = np.asarray(base, np.uint8)
-        import cv2 as _cv2
-        base = _cv2.GaussianBlur(base, (21, 21), 0)
         for c in range(n_chunks):
             path = osp.join(d, f"{c * chunk_len}.mp4")
             if osp.exists(path):
                 continue
-            vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
-                                 fps, (w, h))
-            for i in range(chunk_len * fps):
-                vw.write(np.roll(base, (c * 450 + i) * 2, axis=1))
-            vw.release()
+            try:
+                if not native_available():
+                    raise RuntimeError("no native encoder")
+                write_test_video(path, chunk_len * fps, w=w, h=h, fps=fps,
+                                 gop=250, bframes=3, codec="libx264",
+                                 noise=True)
+            except Exception:
+                import cv2
+
+                base = cv2.GaussianBlur(
+                    rs.randint(0, 255, (h, w, 3), np.uint8), (21, 21), 0)
+                vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                     fps, (w, h))
+                for i in range(chunk_len * fps):
+                    vw.write(np.roll(base, (c * 450 + i) * 2, axis=1))
+                vw.release()
         # several samples per video, different windows
         for st in np.linspace(0.5, n_chunks * chunk_len - 3.0, 8):
             samples.append((vid, float(st), float(st + 2.0),

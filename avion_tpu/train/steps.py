@@ -29,7 +29,7 @@ LOGIT_SCALE_MAX = 4.6052  # ln(100); scripts/main_lavila_pretrain.py:880
 
 
 def prep_video(video, mean=None, std=None, dtype=jnp.bfloat16, batch=None,
-               crop_size=None):
+               crop_size=None, model=None):
     """Normalize uint8 device batches in-graph (the reference's kornia
     GPU normalize, ``main_lavila_pretrain.py:430-435``); float inputs
     pass through (already normalized, e.g. in tests).  When the batch
@@ -47,6 +47,10 @@ def prep_video(video, mean=None, std=None, dtype=jnp.bfloat16, batch=None,
             video, batch["crop"], batch.get("hflip"),
             out_size=(crop_size, crop_size), mean=mean, std=std, dtype=dtype)
     if video.dtype == jnp.uint8:
+        if model is not None and getattr(model, "input_norm", "none") != "none":
+            # model normalizes uint8 inside its rematerialized stem:
+            # passing the raw batch keeps only the uint8 copy in HBM
+            return video
         return normalize_video(video, mean, std, dtype)
     return video
 
@@ -95,7 +99,8 @@ def make_clip_train_step(
         def loss_fn(params):
             out, variables = model.apply(
                 {"params": params},
-                prep_video(batch["video"], batch=batch, crop_size=crop_size),
+                prep_video(batch["video"], batch=batch, crop_size=crop_size,
+                           model=model),
                 batch["text"],
                 False,
                 rngs={"dropout": dropout_rng, "patch_dropout": pd_rng},

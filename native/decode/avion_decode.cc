@@ -390,10 +390,13 @@ void avd_close(void* h) {
 // sparse-keyframe content.  Frames are deterministic: frame i has a
 // vertical bar at x = (i * 7) % w over a per-frame flat gray level, so
 // frames are visually distinct and re-identifiable after lossy coding.
-int avd_write_test_video(const char* path, int n_frames, int w, int h,
-                         int fps, int gop, int bframes) {
-  const AVCodec* enc = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
-  if (!enc) { g_error = "no mpeg4 encoder"; return -1; }
+int avd_write_test_video_codec(const char* path, int n_frames, int w, int h,
+                               int fps, int gop, int bframes,
+                               const char* codec_name, int noise) {
+  const AVCodec* enc = codec_name && codec_name[0]
+                           ? avcodec_find_encoder_by_name(codec_name)
+                           : avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  if (!enc) { g_error = "encoder unavailable"; return -1; }
   AVFormatContext* fmt = nullptr;
   if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0 ||
       !fmt) { g_error = "alloc output"; return -1; }
@@ -407,10 +410,23 @@ int avd_write_test_video(const char* path, int n_frames, int w, int h,
   c->bit_rate = (int64_t)w * h * fps / 4;
   if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
     c->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
-  if (avcodec_open2(c, enc, nullptr) < 0) {
-    g_error = "open mpeg4 encoder";
+  AVDictionary* opts = nullptr;
+  if (enc->id == AV_CODEC_ID_H264) {
+    // x264-default-like production re-encode profile (the chunked
+    // datasets the reference prepares); CRF mode ignores bit_rate.
+    // b_strategy 0 forces the requested B-frame cadence even on
+    // synthetic content (real video carries 40-60% B-frames, the
+    // frames the NONREF fast-forward path skips)
+    av_dict_set(&opts, "preset", "veryfast", 0);
+    av_dict_set(&opts, "crf", "23", 0);
+    av_dict_set(&opts, "b_strategy", "0", 0);
+  }
+  if (avcodec_open2(c, enc, &opts) < 0) {
+    av_dict_free(&opts);
+    g_error = "cannot open encoder";
     avcodec_free_context(&c); avformat_free_context(fmt); return -1;
   }
+  av_dict_free(&opts);
   avcodec_parameters_from_context(st->codecpar, c);
   st->time_base = c->time_base;
   if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
@@ -432,12 +448,28 @@ int avd_write_test_video(const char* path, int n_frames, int w, int h,
       av_packet_unref(pkt);
     }
   };
+  // noise mode: textured content with per-frame drift — realistic
+  // bitrate/motion for decode benchmarks (the flat-gray fixture
+  // compresses to almost nothing and under-stresses the decoder)
+  std::vector<uint8_t> tex;
+  if (noise) {
+    tex.resize((size_t)(w + 256) * h);
+    uint32_t st = 12345;
+    for (auto& b : tex) { st = st * 1664525u + 1013904223u; b = st >> 24; }
+  }
   for (int i = 0; i < n_frames; i++) {
     av_frame_make_writable(f);
     uint8_t lum = (uint8_t)(40 + (i * 13) % 160);
     int bar = (i * 7) % w;
     for (int y = 0; y < h; y++) {
-      memset(f->data[0] + y * f->linesize[0], lum, w);
+      if (noise) {
+        const uint8_t* src = tex.data() + (size_t)y * (w + 256) + (i % 256);
+        uint8_t* dst = f->data[0] + (size_t)y * f->linesize[0];
+        for (int x = 0; x < w; x++)
+          dst[x] = (uint8_t)((src[x] >> 1) + (lum >> 1));
+      } else {
+        memset(f->data[0] + y * f->linesize[0], lum, w);
+      }
       for (int x = bar; x < std::min(w, bar + 8); x++)
         f->data[0][y * f->linesize[0] + x] = 235;
     }
@@ -454,6 +486,12 @@ int avd_write_test_video(const char* path, int n_frames, int w, int h,
   if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
   avformat_free_context(fmt);
   return 0;
+}
+
+int avd_write_test_video(const char* path, int n_frames, int w, int h,
+                         int fps, int gop, int bframes) {
+  return avd_write_test_video_codec(path, n_frames, w, h, fps, gop,
+                                    bframes, nullptr, 0);
 }
 
 }  // extern "C"

@@ -126,3 +126,34 @@ def test_freeze_temperature_keeps_loaded_value_blocks_grad():
 
     g = jax.grad(loss)(params)
     assert float(jnp.abs(g["logit_scale"])) == 0.0
+
+
+def test_input_norm_in_stem_matches_external_normalize():
+    """CLIP with input_norm='openai' consumes the raw uint8 batch and
+    must match external normalize_video + the default model exactly
+    (the batch-256 HBM lever keeps only the uint8 copy alive)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from avion_tpu.data.transforms import normalize_video
+    from avion_tpu.models import create_model
+
+    m0 = create_model("CLIP_TINY")
+    m1 = create_model("CLIP_TINY", input_norm="openai")
+    rs = np.random.RandomState(0)
+    video_u8 = rs.randint(0, 256, (2, 2, 32, 32, 3)).astype(np.uint8)
+    text = rs.randint(1, 49408, (2, 77)).astype(np.int32)
+    vf = normalize_video(jnp.asarray(video_u8), dtype=jnp.float32)
+    params = jax.jit(m0.init)(jax.random.PRNGKey(0), vf,
+                              jnp.asarray(text))["params"]
+    out0 = m0.apply({"params": params}, vf, jnp.asarray(text))
+    out1 = m1.apply({"params": params}, jnp.asarray(video_u8),
+                    jnp.asarray(text))
+    for k in ("image_embed", "text_embed"):
+        np.testing.assert_allclose(np.asarray(out1[k]), np.asarray(out0[k]),
+                                   atol=2e-5, rtol=2e-5)
+    # float inputs pass through unchanged even with input_norm set
+    out2 = m1.apply({"params": params}, vf, jnp.asarray(text))
+    np.testing.assert_allclose(np.asarray(out2["image_embed"]),
+                               np.asarray(out0["image_embed"]), atol=1e-6)
