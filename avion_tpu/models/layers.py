@@ -12,6 +12,7 @@ DropPath, and per-block gradient rematerialization
 
 from __future__ import annotations
 
+import re
 from typing import Any, Callable, Optional
 
 import flax.linen as nn
@@ -111,6 +112,10 @@ class SelfAttention(nn.Module):
     use_flash: bool = True
     causal: bool = False
     sequence_parallel: bool = False  # ring attention over the sp axis
+    # False: name the flash residuals outside the save_attn policy so
+    # this layer's backward re-runs the forward kernel instead of
+    # holding out+lse in HBM (remat_policy save_attn_kN)
+    save_attn_residuals: bool = True
 
     def setup(self):
         self.qkv = nn.Dense(3 * self.width, dtype=self.dtype,
@@ -166,12 +171,14 @@ class SelfAttention(nn.Module):
         if s_pad != s:
             x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
         qkv = self.qkv(x)
-        o = attention_fused_qkv(qkv, self.heads, s, causal=self.causal)
+        o = attention_fused_qkv(qkv, self.heads, s, causal=self.causal,
+                                save_residuals=self.save_attn_residuals)
         # named for selective remat: policy "save_attn" keeps the
         # attention output (the flash kernel additionally names its own
         # out/lse residuals inside its fwd rule, so the rematerialized
         # backward never re-runs the forward kernel)
-        o = jax.ad_checkpoint.checkpoint_name(o, "attn_out")
+        o = jax.ad_checkpoint.checkpoint_name(
+            o, "attn_out" if self.save_attn_residuals else "attn_out_r")
         return self.out_proj(o)
 
     def decode_step(self, x1, pos, k_cache, v_cache):
@@ -201,13 +208,15 @@ class Block(nn.Module):
     drop_path: float = 0.0
     sequence_parallel: bool = False
     moe_experts: int = 0
+    save_attn_residuals: bool = True
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         y = LayerNorm(dtype=self.dtype, name="ln_1")(x)
         y = SelfAttention(self.width, self.heads, self.dtype,
                           self.use_flash, self.causal,
-                          self.sequence_parallel, name="attn")(y)
+                          self.sequence_parallel,
+                          self.save_attn_residuals, name="attn")(y)
         if self.ls_init_value is not None:
             y = LayerScale(self.ls_init_value, name="ls_1")(y)
         y = DropPath(self.drop_path, name="dp_1")(y, deterministic)
@@ -250,8 +259,16 @@ class Transformer(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         block_cls = Block
+        save_k = self.layers  # layers whose attn residuals are saved
         if self.remat:
-            if self.remat_policy == "save_attn":
+            m = re.fullmatch(r"save_attn(?:_k(\d+))?", self.remat_policy)
+            if m:
+                # save_attn_kN: keep out+lse for the first N layers only
+                # — each unsaved layer re-runs its forward attention
+                # kernel in the backward but frees ~26 MB/clip of HBM
+                # (the batch-256 tuning knob; N defaults to all layers)
+                if m.group(1) is not None:
+                    save_k = int(m.group(1))
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "attn_out", "attn_lse")
             elif self.remat_policy == "full":
@@ -259,14 +276,14 @@ class Transformer(nn.Module):
             else:
                 raise ValueError(
                     f"unknown remat_policy {self.remat_policy!r} "
-                    f"(expected 'save_attn' or 'full')")
+                    f"(expected 'save_attn', 'save_attn_kN' or 'full')")
             block_cls = nn.remat(Block, static_argnums=(2,), policy=policy)
         for i in range(self.layers):
             dp = self.drop_path_rate * i / max(1, self.layers - 1)
             blk = block_cls(
                 self.width, self.heads, self.mlp_ratio, self.act, self.dtype,
                 self.use_flash, self.causal, self.ls_init_value, dp,
-                self.sequence_parallel, self.moe_experts,
+                self.sequence_parallel, self.moe_experts, i < save_k,
                 name=f"resblocks_{i}",
             )
             x = blk(x, deterministic) if not self.remat else blk(x, deterministic)

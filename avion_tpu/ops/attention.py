@@ -121,6 +121,7 @@ def attention_fused_qkv(
     causal: bool = False,
     sm_scale: Optional[float] = None,
     use_flash: bool = True,
+    save_residuals: bool = True,
 ) -> jax.Array:
     """Attention straight off a fused qkv projection [B, S_pad, 3*H*D]
     whose rows beyond ``s`` are padding (finite values).  On TPU the
@@ -128,7 +129,8 @@ def attention_fused_qkv(
     ops ever materialize.  Returns [B, s, H*D]."""
     if use_flash and _on_tpu():
         return flash_attention_fused_qkv(qkv, heads, s, causal=causal,
-                                         sm_scale=sm_scale)
+                                         sm_scale=sm_scale,
+                                         save_residuals=save_residuals)
     w = qkv.shape[-1] // 3
     q = qkv[:, :s, :w]
     k = qkv[:, :s, w : 2 * w]

@@ -780,26 +780,35 @@ def _use_combined_bwd(s_pad: int) -> bool:
     return _COMBINED_BWD in (True, "1")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
-def _flash_fused(qkv, heads, s, sm_scale, causal, block_q, interpret):
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))
+def _flash_fused(qkv, heads, s, sm_scale, causal, block_q, interpret,
+                 save_residuals):
     out, _ = _fwd_fused(qkv, heads, s, sm_scale, causal, block_q,
                         interpret, need_lse=False)
     return out
 
 
 def _flash_fused_fwd_rule(qkv, heads, s, sm_scale, causal, block_q,
-                          interpret):
+                          interpret, save_residuals):
     from jax.ad_checkpoint import checkpoint_name
 
     out, lse = _fwd_fused(qkv, heads, s, sm_scale, causal, block_q,
                           interpret)
-    out = checkpoint_name(out, "attn_out")
-    lse = checkpoint_name(lse, "attn_lse")
+    # save_residuals=False names the residuals OUTSIDE the remat
+    # policy's saved set, so this layer's backward re-runs the forward
+    # kernel instead of holding out+lse in HBM (~26 MB/clip across 12
+    # layers) — the per-layer knob behind remat_policy save_attn_kN
+    out = checkpoint_name(out, "attn_out" if save_residuals
+                          else "attn_out_r")
+    lse = checkpoint_name(lse, "attn_lse" if save_residuals
+                          else "attn_lse_r")
     return out, (qkv, out, lse)
 
 
 def _bwd_fused_dispatch(heads, s, sm_scale, causal, block_q, interpret,
-                        res, g):
+                        save_residuals, res, g):
+    del save_residuals  # fwd-side naming only
     if _use_combined_bwd(res[0].shape[1]):
         return _bwd_fused_combined(heads, s, sm_scale, causal, block_q,
                                    interpret, res, g)
@@ -819,6 +828,7 @@ def flash_attention_fused_qkv(
     sm_scale: Optional[float] = None,
     block_q: Optional[int] = None,
     interpret: bool = False,
+    save_residuals: bool = True,
 ) -> jax.Array:
     """Flash attention straight off the fused qkv projection output.
 
@@ -832,4 +842,4 @@ def flash_attention_fused_qkv(
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt((qkv.shape[-1] // 3) // heads)
     return _flash_fused(qkv, heads, s, sm_scale, causal, block_q,
-                        interpret)
+                        interpret, save_residuals)

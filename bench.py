@@ -1,10 +1,13 @@
 #!/usr/bin/env python
 """Benchmark: CLIP ViT-B/16 contrastive pretrain step throughput on TPU.
 
-Matches the reference headline config: 4-frame clips, 224px
+Matches the reference headline config: 4-frame clips, 224px, batch 256
 (scripts/main_lavila_pretrain.py:78 --clip-length default 4, batch
-256/GPU on 24GB A5000s; batch 224 is the largest that fits v5e HBM
-with selective remat + saved attention residuals).
+256/GPU on 24GB A5000s).  Batch 256 fits one v5e chip via bf16
+optimizer state, uint8 in-stem normalization, and remat_policy
+save_attn_k9 (attention residuals saved for 9/12 layers; the other
+three re-run their forward kernel in the backward) — XLA memory
+analysis: temp 14.34 GB + args 1.35 GB of 16 GB HBM.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
 "mfu", "step_ms"}.
@@ -35,7 +38,7 @@ def model_fwd_flops():
     return clip_fwd_flops()
 
 
-def build(batch):
+def build(batch, remat_policy="save_attn"):
     from avion_tpu.core.config import OptimConfig
     from avion_tpu.core.train_state import TrainState
     from avion_tpu.models import create_model
@@ -45,27 +48,31 @@ def build(batch):
     model = create_model(
         "CLIP_VITB16", num_frames=4, use_grad_checkpointing=True,
         use_flash_attn=True, project_embed_dim=512,
+        input_norm="openai", remat_policy=remat_policy,
     )
     rng = jax.random.PRNGKey(0)
-    video = jnp.zeros((batch, 4, 224, 224, 3), jnp.bfloat16)
+    # uint8 batches, like the real pipeline feeds (normalization runs
+    # inside the rematerialized stem)
+    video = jnp.zeros((batch, 4, 224, 224, 3), jnp.uint8)
     text = jnp.zeros((batch, 77), jnp.int32)
     params = jax.jit(model.init)(rng, video, text)["params"]
     cfg = OptimConfig(optimizer="adamw", lr=4e-5, warmup_epochs=1, epochs=5,
-                      grad_clip_norm=1.0)
+                      grad_clip_norm=1.0, state_dtype="bfloat16")
     tx, _ = build_optimizer(cfg, params, niter_per_ep=1000)
     state = TrainState.create(params, tx)
     step = jax.jit(make_clip_train_step(model, tx), donate_argnums=(0,))
     batch_data = {
         "video": jax.device_put(
-            jax.random.normal(rng, (batch, 4, 224, 224, 3), jnp.bfloat16)),
+            jax.random.randint(rng, (batch, 4, 224, 224, 3), 0, 256,
+                               jnp.uint8)),
         "text": jax.device_put(
             jax.random.randint(rng, (batch, 77), 0, 49408, jnp.int32)),
     }
     return step, state, batch_data
 
 
-def bench_batch(batch, warmup=3, iters=20):
-    step, state, data = build(batch)
+def bench_batch(batch, warmup=3, iters=20, remat_policy="save_attn"):
+    step, state, data = build(batch, remat_policy)
     rng = jax.random.PRNGKey(1)
     for _ in range(warmup):
         state, metrics = step(state, data, rng)
@@ -162,9 +169,13 @@ def main():
     if "--selfcheck" in sys.argv:
         selfcheck()
         sys.argv.remove("--selfcheck")
-    for batch in (224, 192, 128, 64, 32):
+    # batch 256 (the reference-named config) runs with save_attn_k9;
+    # smaller batches keep all attention residuals
+    for batch, policy in ((256, "save_attn_k9"), (224, "save_attn"),
+                          (192, "save_attn"), (128, "save_attn"),
+                          (64, "save_attn"), (32, "save_attn")):
         try:
-            clips_per_sec, dt = bench_batch(batch)
+            clips_per_sec, dt = bench_batch(batch, remat_policy=policy)
             mfu = clips_per_sec * 3 * model_fwd_flops() / V5E_PEAK_FLOPS
             result = {
                 "metric": f"clips_per_sec_per_chip_vitb16_pretrain_b{batch}",

@@ -157,3 +157,37 @@ def test_input_norm_in_stem_matches_external_normalize():
     out2 = m1.apply({"params": params}, vf, jnp.asarray(text))
     np.testing.assert_allclose(np.asarray(out2["image_embed"]),
                                np.asarray(out0["image_embed"]), atol=1e-6)
+
+
+def test_save_attn_kn_policy_grads_match():
+    """remat_policy='save_attn_kN' changes only WHAT is saved for the
+    backward, never the math: grads must match the full save_attn
+    policy exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from avion_tpu.models import create_model
+
+    rs = np.random.RandomState(0)
+    video = jnp.asarray(rs.rand(2, 2, 32, 32, 3), jnp.float32)
+    text = jnp.asarray(rs.randint(1, 49408, (2, 77)), jnp.int32)
+
+    def grads(policy):
+        m = create_model("CLIP_TINY", use_grad_checkpointing=True,
+                         remat_policy=policy)
+        params = jax.jit(m.init)(jax.random.PRNGKey(0), video,
+                                 text)["params"]
+
+        def loss(p):
+            out = m.apply({"params": p}, video, text)
+            return jnp.sum(out["image_embed"] * out["text_embed"])
+
+        return params, jax.grad(loss)(params)
+
+    p0, g0 = grads("save_attn")
+    p1, g1 = grads("save_attn_k1")
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), atol=1e-6),
+        g0, g1)
