@@ -229,20 +229,40 @@ class GatedGPT2LMHead(nn.Module):
     cross_freq: int = 3
     gated: bool = True
     dtype: Any = jnp.float32
+    # GPipe the 48-block stack over mesh.pp — at GPT-2-XL scale (1.5B
+    # params) the decoder + optimizer state exceed one chip's HBM, the
+    # case pipeline parallelism exists for.  Teacher-forced training
+    # path; cached decode needs the sequential layout.
+    pipeline: bool = False
+    pipeline_microbatches: int = 8
 
     def setup(self):
         self.wte = self.param("wte", nn.initializers.normal(0.02),
                               (self.vocab_size, self.width), jnp.float32)
         self.wpe = self.param("wpe", nn.initializers.normal(0.01),
                               (self.max_positions, self.width), jnp.float32)
-        self.h = [
-            GatedGPT2Block(
-                self.width, self.heads,
-                has_cross=(i % self.cross_freq == 0), gated=self.gated,
-                dtype=self.dtype, name=f"h_{i}",
-            )
-            for i in range(self.layers)
-        ]
+        if self.pipeline:
+            from avion_tpu.parallel.pipeline_gated import (
+                PipelinedGatedDecoder)
+
+            if not self.gated:
+                raise NotImplementedError(
+                    "pipelined GPT-2 supports the gated-xattn variant")
+            self.h = PipelinedGatedDecoder(
+                width=self.width, layers=self.layers, heads=self.heads,
+                cross_every=self.cross_freq, cross_position="pre",
+                act=gelu_new, cross_act=squared_relu, dtype=self.dtype,
+                use_flash=False,
+                num_microbatches=self.pipeline_microbatches, name="blocks")
+        else:
+            self.h = [
+                GatedGPT2Block(
+                    self.width, self.heads,
+                    has_cross=(i % self.cross_freq == 0), gated=self.gated,
+                    dtype=self.dtype, name=f"h_{i}",
+                )
+                for i in range(self.layers)
+            ]
         self.ln_f = _ln("ln_f")
 
     def __call__(self, tokens, enc: Optional[jax.Array] = None):
@@ -254,14 +274,24 @@ class GatedGPT2LMHead(nn.Module):
         wte = jnp.asarray(self.wte)
         x = (jnp.take(wte, tokens, axis=0)
              + jnp.asarray(self.wpe)[:s][None]).astype(self.dtype)
-        for blk in self.h:
-            x = blk(x, enc)
+        if self.pipeline:
+            if enc is None:
+                raise ValueError("pipelined GPT-2 requires visual tokens")
+            x = self.h(x, enc)
+        else:
+            for blk in self.h:
+                x = blk(x, enc)
         x = self.ln_f(x)
         return x @ wte.T.astype(x.dtype)  # tied LM head
 
     def precompute_cross(self, enc):
         """Per-block cross-attention (k, v) from the visual tokens
         (None entries for blocks without cross-attention)."""
+        if self.pipeline:
+            raise RuntimeError(
+                "KV-cached decoding needs the sequential block layout; "
+                "convert with pipeline_gated.unstack_gated_params and "
+                "load into pipeline=False")
         return tuple(blk.cross_kv(enc) for blk in self.h)
 
     def decode_one(self, tok, pos, kv, cross):

@@ -147,6 +147,12 @@ class VCLM(nn.Module):
     vision_heads: int = 12
     use_flash: bool = True
     dtype: Any = jnp.bfloat16
+    # GPipe the decoder stack over mesh.pp (parallel/pipeline_gated.py):
+    # group-stacked params, cross-attention group boundaries as stage
+    # splits.  Training-path feature; cached generation needs the
+    # sequential layout (convert with unstack_gated_params).
+    pipeline: bool = False
+    pipeline_microbatches: int = 8
 
     def setup(self):
         self.visual = VisionTransformer(
@@ -163,14 +169,24 @@ class VCLM(nn.Module):
         self.positional_embedding = self.param(
             "pos_embed", nn.initializers.normal(0.01),
             (self.context_length, self.width), jnp.float32)
-        self.blocks = [
-            GatedDecoderBlock(
-                self.width, self.heads, self.dtype, self.use_flash,
-                cross_attend=(i % self.cross_every == 0),
-                name=f"block_{i}",
-            )
-            for i in range(self.layers)
-        ]
+        if self.pipeline:
+            from avion_tpu.parallel.pipeline_gated import (
+                PipelinedGatedDecoder)
+
+            self.blocks = PipelinedGatedDecoder(
+                width=self.width, layers=self.layers, heads=self.heads,
+                cross_every=self.cross_every, cross_position="mid",
+                dtype=self.dtype, use_flash=self.use_flash,
+                num_microbatches=self.pipeline_microbatches, name="blocks")
+        else:
+            self.blocks = [
+                GatedDecoderBlock(
+                    self.width, self.heads, self.dtype, self.use_flash,
+                    cross_attend=(i % self.cross_every == 0),
+                    name=f"block_{i}",
+                )
+                for i in range(self.layers)
+            ]
         self.ln_f = LayerNorm(dtype=self.dtype)
 
     def encode_video(self, video):
@@ -180,8 +196,11 @@ class VCLM(nn.Module):
     def decode(self, tokens, visual):
         x = self.token_embedding(tokens).astype(self.dtype)
         x = x + self.positional_embedding[: x.shape[1]].astype(self.dtype)[None]
-        for blk in self.blocks:
-            x = blk(x, visual)
+        if self.pipeline:
+            x = self.blocks(x, visual)
+        else:
+            for blk in self.blocks:
+                x = blk(x, visual)
         x = self.ln_f(x)
         # weight-tied output head
         logits = x.astype(jnp.float32) @ self.token_embedding.embedding.T
@@ -194,6 +213,11 @@ class VCLM(nn.Module):
 
     def precompute_cross(self, visual):
         """Per-block cross-attention (k, v) (None for non-cross blocks)."""
+        if self.pipeline:
+            raise RuntimeError(
+                "KV-cached decoding needs the sequential block layout; "
+                "convert the checkpoint with pipeline_gated."
+                "unstack_gated_params and load into pipeline=False")
         return tuple(blk.cross_kv(visual) for blk in self.blocks)
 
     def decode_one(self, tok, pos, kv, cross):

@@ -118,6 +118,8 @@ def _vclm_vitb16(
     use_flash_attn: bool = True,
     cross_every: int = 2,
     dtype=None,
+    pipeline: bool = False,
+    pipeline_microbatches: int = 8,
     **_unused,
 ):
     """Narrator VCLM: ViT-B/16 video tokens + gated-cross-attn causal
@@ -133,6 +135,7 @@ def _vclm_vitb16(
         num_frames=num_frames, vision_width=768, vision_layers=12,
         vision_heads=12, use_flash=use_flash_attn,
         dtype=dtype if dtype is not None else jnp.bfloat16,
+        pipeline=pipeline, pipeline_microbatches=pipeline_microbatches,
     )
 
 

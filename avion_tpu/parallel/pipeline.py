@@ -247,6 +247,33 @@ def adapt_stacked_layouts(src: Dict, template: Dict) -> Dict:
         return stack_block_params(src, layers)
     if src_stacked and tpl_seq:
         return unstack_block_params(src)
+
+    # gated decoders (narrator block_{i} / GPT-2 h_{i} <-> group-stacked
+    # "blocks"; see parallel/pipeline_gated.py)
+    def _is_block(key, prefix):
+        return key.startswith(prefix) and key[len(prefix):].isdigit()
+
+    tpl_blocks = template.get("blocks")
+    tpl_gated_stacked = isinstance(tpl_blocks, dict) and "gate_attn" in tpl_blocks
+    for prefix in ("block_", "h_"):
+        if tpl_gated_stacked and any(_is_block(k, prefix) for k in src):
+            from avion_tpu.parallel.pipeline_gated import stack_gated_params
+
+            out = {k: adapt_stacked_layouts(v, template.get(k, {}))
+                   for k, v in src.items() if not _is_block(k, prefix)}
+            out["blocks"] = stack_gated_params(src, prefix=prefix)
+            return out
+    src_blocks = src.get("blocks")
+    if isinstance(src_blocks, dict) and "gate_attn" in src_blocks:
+        for prefix in ("block_", "h_"):
+            if any(_is_block(k, prefix) for k in template):
+                from avion_tpu.parallel.pipeline_gated import (
+                    unstack_gated_params)
+
+                out = {k: adapt_stacked_layouts(v, template.get(k, {}))
+                       for k, v in src.items() if k != "blocks"}
+                out.update(unstack_gated_params(src_blocks, prefix=prefix))
+                return out
     return {k: adapt_stacked_layouts(v, template.get(k, {}))
             for k, v in src.items()}
 

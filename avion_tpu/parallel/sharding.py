@@ -44,10 +44,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
 # parallel, proj & mlp-out are row-parallel (Megatron layout).
 _COL_PARALLEL = ("qkv", "fc1", "in_proj")
 _ROW_PARALLEL = ("out_proj", "fc2")
-# stacked-pipeline param leaves ([layers, ...] leading dim over "pp";
-# see parallel/pipeline.py _LEAF_PATHS)
+# stacked-pipeline param leaves ([layers, ...] or group-major [G, ...]
+# leading dim over "pp"; see parallel/pipeline.py _LEAF_PATHS and
+# pipeline_gated.py _SELF_PATHS/_CROSS_PATHS)
 _PIPE_LEAVES = ("ln1_", "ln2_", "qkv_", "out_kernel", "out_bias",
-                "fc1_", "fc2_")
+                "fc1_", "fc2_", "lnx_", "lnxm_", "xattn_", "xmlp_",
+                "gate_attn", "gate_mlp")
 
 
 def _spec_for_param(path: str, shape, mesh: Mesh) -> P:

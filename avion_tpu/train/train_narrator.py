@@ -77,8 +77,11 @@ def main(argv=None):
     setup_host(cfg.seed)
 
     name = cfg.model.name if cfg.model.name.startswith("VCLM") else "VCLM_VITB16"
-    model = create_model(name, num_frames=d.clip_length,
-                         use_flash_attn=cfg.model.use_flash_attn)
+    model = create_model(
+        name, num_frames=d.clip_length,
+        use_flash_attn=cfg.model.use_flash_attn,
+        pipeline=cfg.model.pipeline,
+        pipeline_microbatches=cfg.model.pipeline_microbatches)
 
     train_ds = VideoCaptionDataset(
         "ego4d", d.root, d.train_metadata, is_training=True,
