@@ -5,8 +5,8 @@ Matches the reference headline config: 4-frame clips, 224px, batch 256
 (scripts/main_lavila_pretrain.py:78 --clip-length default 4, batch
 256/GPU on 24GB A5000s).  Batch 256 fits one v5e chip via bf16
 optimizer state, uint8 in-stem normalization, and remat_policy
-save_attn_k9 (attention residuals saved for 9/12 layers; the other
-three re-run their forward kernel in the backward) — XLA memory
+save_attn_k10 (attention residuals saved for 10/12 layers; the other
+two re-run their forward kernel in the backward) — XLA memory
 analysis: temp 14.34 GB + args 1.35 GB of 16 GB HBM.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
@@ -169,9 +169,11 @@ def main():
     if "--selfcheck" in sys.argv:
         selfcheck()
         sys.argv.remove("--selfcheck")
-    # batch 256 (the reference-named config) runs with save_attn_k9;
+    # batch 256 (the reference-named config) runs with save_attn_k10
+    # (memory-probed: k10 compiles to the same 14.34 GB temp as k9 —
+    # one less recomputed layer for free; k11 needs 15.14 GB and OOMs);
     # smaller batches keep all attention residuals
-    for batch, policy in ((256, "save_attn_k9"), (224, "save_attn"),
+    for batch, policy in ((256, "save_attn_k10"), (224, "save_attn"),
                           (192, "save_attn"), (128, "save_attn"),
                           (64, "save_attn"), (32, "save_attn")):
         try:
