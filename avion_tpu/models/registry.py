@@ -100,6 +100,20 @@ register_model("CLIP_VITB16")(
     _clip_factory(patch_size=16, vision_width=768, vision_layers=12,
                   vision_heads=12)
 )
+register_model("CLIP_VITB16_H128")(
+    # TPU speed variant (beyond parity, for from-scratch pretraining):
+    # same widths/depths/params as CLIP_VITB16 but 6 heads of dim 128
+    # instead of 12 of dim 64, so every attention matmul contracts over
+    # the MXU's full 128 lanes.  Parameter-shape compatible with
+    # CLIP_VITB16 checkpoints (qkv/out kernels do not depend on the
+    # head split) but NOT function-equivalent: 12-head pretrained
+    # weights produce different attention patterns under a 6-head
+    # split, so use this for new training runs, not weight import.
+    # Measured: fused-qkv flash fwd+bwd 8.08 ms vs 11.53 ms at ViT-B
+    # pretrain shapes (tools/bench_attention.py --heads 6, v5e).
+    _clip_factory(patch_size=16, vision_width=768, vision_layers=12,
+                  vision_heads=6)
+)
 register_model("CLIP_VITL14")(
     _clip_factory(patch_size=14, vision_width=1024, vision_layers=24,
                   vision_heads=16, text_width=768, text_heads=12,

@@ -38,7 +38,7 @@ def model_fwd_flops():
     return clip_fwd_flops()
 
 
-def build(batch, remat_policy="save_attn"):
+def build(batch, remat_policy="save_attn", model_name="CLIP_VITB16"):
     from avion_tpu.core.config import OptimConfig
     from avion_tpu.core.train_state import TrainState
     from avion_tpu.models import create_model
@@ -46,7 +46,7 @@ def build(batch, remat_policy="save_attn"):
     from avion_tpu.train.steps import make_clip_train_step
 
     model = create_model(
-        "CLIP_VITB16", num_frames=4, use_grad_checkpointing=True,
+        model_name, num_frames=4, use_grad_checkpointing=True,
         use_flash_attn=True, project_embed_dim=512,
         input_norm="openai", remat_policy=remat_policy,
     )
@@ -71,8 +71,9 @@ def build(batch, remat_policy="save_attn"):
     return step, state, batch_data
 
 
-def bench_batch(batch, warmup=3, iters=20, remat_policy="save_attn"):
-    step, state, data = build(batch, remat_policy)
+def bench_batch(batch, warmup=3, iters=20, remat_policy="save_attn",
+                model_name="CLIP_VITB16"):
+    step, state, data = build(batch, remat_policy, model_name)
     rng = jax.random.PRNGKey(1)
     for _ in range(warmup):
         state, metrics = step(state, data, rng)
@@ -169,6 +170,18 @@ def main():
     if "--selfcheck" in sys.argv:
         selfcheck()
         sys.argv.remove("--selfcheck")
+    # --model CLIP_VITB16_H128 benches the TPU speed variant (6 heads
+    # of dim 128; full-lane QK^T): 208.95 clips/s/chip, 51.9% MFU at
+    # b256 measured on v5e — vs 184.2 for the 12-head parity geometry.
+    # The default stays the reference geometry so the recorded metric
+    # is apples-to-apples with the reference's architecture.
+    model_name = "CLIP_VITB16"
+    if "--model" in sys.argv:
+        i = sys.argv.index("--model")
+        if i + 1 >= len(sys.argv):
+            raise SystemExit("usage: bench.py [--model NAME] [--selfcheck]")
+        model_name = sys.argv[i + 1]
+    tag = "vitb16" if model_name == "CLIP_VITB16" else model_name.lower()
     # batch 256 (the reference-named config) runs with save_attn_k10
     # (memory-probed: k10 compiles to the same 14.34 GB temp as k9 —
     # one less recomputed layer for free; k11 needs 15.14 GB and OOMs);
@@ -177,10 +190,11 @@ def main():
                           (192, "save_attn"), (128, "save_attn"),
                           (64, "save_attn"), (32, "save_attn")):
         try:
-            clips_per_sec, dt = bench_batch(batch, remat_policy=policy)
+            clips_per_sec, dt = bench_batch(batch, remat_policy=policy,
+                                            model_name=model_name)
             mfu = clips_per_sec * 3 * model_fwd_flops() / V5E_PEAK_FLOPS
             result = {
-                "metric": f"clips_per_sec_per_chip_vitb16_pretrain_b{batch}",
+                "metric": f"clips_per_sec_per_chip_{tag}_pretrain_b{batch}",
                 "value": round(clips_per_sec, 2),
                 "unit": "clips/s/chip",
                 "vs_baseline": round(

@@ -14,6 +14,19 @@ def test_registry_lists_families():
         assert n in names
 
 
+def test_h128_variant_matches_vitb16_param_shapes():
+    # the TPU speed variant differs ONLY in the head split: 6x128 vs
+    # 12x64.  Same widths -> identical parameter tree (checkpoint
+    # layout compatible); different attention grouping.
+    b16 = create_model("CLIP_VITB16", num_frames=4)
+    h128 = create_model("CLIP_VITB16_H128", num_frames=4)
+    assert b16.vision_heads == 12 and h128.vision_heads == 6
+    assert (b16.vision_width, b16.vision_layers, b16.patch_size) == (
+        h128.vision_width, h128.vision_layers, h128.patch_size)
+    assert b16.vision_width % h128.vision_heads == 0
+    assert b16.vision_width // h128.vision_heads == 128
+
+
 @pytest.fixture(scope="module")
 def tiny_clip():
     # shrunken dims for CPU test speed; same module code path
