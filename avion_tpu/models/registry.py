@@ -245,6 +245,40 @@ def _videomae_vitb16(
     )
 
 
+@register_model("VIDEOMAE_VITB16_H128")
+def _videomae_vitb16_h128(
+    num_frames: int = 16,
+    use_flash_attn: bool = True,
+    use_grad_checkpointing: bool = False,
+    remat_policy: str = "save_attn",
+    decoder_depth: int = 4,
+    drop_path_rate: float = 0.0,
+    mask_ratio: float = 0.9,
+    dtype=None,
+    **_unused,
+):
+    """TPU speed geometry (beyond parity, from-scratch pretraining):
+    VIDEOMAE_VITB16 with head_dim 128 — encoder 6x128, decoder 3x128 —
+    so attention contracts over the MXU's full 128 lanes.  Same
+    widths/params/FLOPs; measured fwd+bwd: decoder (S=1569, W=384)
+    11.20 -> 7.60 ms, encoder (S_pad=256, W=768) 4.25 -> 3.49 ms
+    (tools/bench_attention.py, v5e).  Not for importing 12-head
+    reference checkpoints."""
+    import jax.numpy as jnp
+
+    from avion_tpu.models.videomae import PretrainVideoMAE
+
+    return PretrainVideoMAE(
+        image_size=224, patch_size=16, num_frames=num_frames,
+        encoder_width=768, encoder_layers=12, encoder_heads=6,
+        decoder_width=384, decoder_layers=decoder_depth, decoder_heads=3,
+        tubelet_size=2, mask_ratio=mask_ratio, use_flash=use_flash_attn,
+        remat=use_grad_checkpointing, remat_policy=remat_policy,
+        drop_path_rate=drop_path_rate,
+        dtype=dtype if dtype is not None else jnp.bfloat16,
+    )
+
+
 @register_model("VIDEOMAE_VITB16_FT")
 def _videomae_vitb16_ft(
     num_frames: int = 16,

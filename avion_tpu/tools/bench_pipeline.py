@@ -93,6 +93,13 @@ def main(argv=None):
                    help="core count for the projected duty cycle")
     p.add_argument("--root", default=None,
                    help="reuse an existing synthetic dataset dir")
+    p.add_argument("--replay", action="store_true",
+                   help="after the live run, re-run the step loop fed "
+                        "from a pool of pre-decoded batches — measures "
+                        "the duty cycle of everything EXCEPT decode CPU "
+                        "(host assembly + device_put + dispatch), i.e. "
+                        "the duty cycle a host with enough decode cores "
+                        "would actually achieve")
     args = p.parse_args(argv)
 
     import jax
@@ -171,6 +178,44 @@ def main(argv=None):
         wall = time.perf_counter() - t_start
     loader.close()
 
+    replay = None
+    if args.replay:
+        # pool of pre-decoded host batches (decoded once, reused):
+        # feeding the step from the pool measures host assembly +
+        # device_put + dispatch at an unbounded decode-supply rate
+        import itertools
+
+        pool_it = iter(DataLoader(ds, args.batch, shuffle=True,
+                                  drop_last=True, num_workers=args.workers,
+                                  prefetch_depth=2, infinite=True))
+        pool = [next(pool_it) for _ in range(4)]
+        rit = device_prefetch(itertools.cycle(pool), mesh, depth=2)
+        rtimer = StepTimer()
+        with jax.set_mesh(mesh):
+            state, m = step(state, next(rit), rng)
+            float(m["loss"])
+            n = 0
+            rt0 = time.perf_counter()
+            while n < args.steps:
+                t_fetch = time.perf_counter()
+                batch = next(rit)
+                rtimer.data_time.update(time.perf_counter() - t_fetch)
+                state, m = step(state, batch, rng)
+                n += 1
+                if n % 5 == 0 or n == args.steps:
+                    float(m["loss"])
+                    rtimer.mark_window(min(n, 5))
+            rwall = time.perf_counter() - rt0
+        rstats = rtimer.stats()
+        replay = {
+            "clips_per_sec": round(args.batch * args.steps / rwall, 2),
+            "duty_cycle": round(rstats.get("duty_cycle", 0.0), 4),
+            "data_time_s": round(rstats.get("data_time", 0.0), 4),
+            "step_time_s": round(rstats.get("step_time", 0.0), 4),
+        }
+        print(f"[replay] pre-decoded feed: {replay['clips_per_sec']} "
+              f"clips/s at duty cycle {replay['duty_cycle']}")
+
     stats = timer.stats()
     clips_per_sec = args.batch * args.steps / wall
     # projection: with C cores decoding, host supply = C * per-core rate;
@@ -191,6 +236,8 @@ def main(argv=None):
             str(args.host_cores): round(projected, 4)},
         "loss": round(loss, 4),
     }
+    if replay is not None:
+        result["replay_pre_decoded"] = replay
     print(json.dumps(result))
     return result
 

@@ -21,7 +21,8 @@ import numpy as np
 BASELINE_CLIPS_PER_SEC_PER_GPU = 91.4  # 800 * 240k / (583 * 3600)
 
 
-def bench(batch: int = 128, warmup: int = 3, iters: int = 15) -> float:
+def bench(batch: int = 128, warmup: int = 3, iters: int = 15,
+          model_name: str = "VIDEOMAE_VITB16") -> float:
     from avion_tpu.core.config import OptimConfig
     from avion_tpu.core.train_state import TrainState
     from avion_tpu.data.transforms import tube_mask_batch
@@ -29,7 +30,7 @@ def bench(batch: int = 128, warmup: int = 3, iters: int = 15) -> float:
     from avion_tpu.optim import build_optimizer
     from avion_tpu.train.steps import make_videomae_train_step
 
-    model = create_model("VIDEOMAE_VITB16", num_frames=16,
+    model = create_model(model_name, num_frames=16,
                          use_grad_checkpointing=True, use_flash_attn=True)
     rng = jax.random.PRNGKey(0)
     rs = np.random.RandomState(0)
@@ -56,12 +57,18 @@ def bench(batch: int = 128, warmup: int = 3, iters: int = 15) -> float:
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
+    model_name = "VIDEOMAE_VITB16"
+    if "--model" in argv:
+        i = argv.index("--model")
+        model_name = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
     batches = [int(argv[0])] if argv else [128, 64, 32]
+    tag = model_name.lower()
     for b in batches:
         try:
-            r = bench(b)
+            r = bench(b, model_name=model_name)
             print(json.dumps({
-                "metric": f"clips_per_sec_per_chip_videomae_vitb16_b{b}",
+                "metric": f"clips_per_sec_per_chip_{tag}_b{b}",
                 "value": round(r, 2), "unit": "clips/s/chip",
                 "vs_baseline": round(r / BASELINE_CLIPS_PER_SEC_PER_GPU, 3),
             }))

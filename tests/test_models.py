@@ -26,6 +26,13 @@ def test_h128_variant_matches_vitb16_param_shapes():
     assert b16.vision_width % h128.vision_heads == 0
     assert b16.vision_width // h128.vision_heads == 128
 
+    mae = create_model("VIDEOMAE_VITB16")
+    mae128 = create_model("VIDEOMAE_VITB16_H128")
+    assert (mae.encoder_width, mae.decoder_width) == (
+        mae128.encoder_width, mae128.decoder_width)
+    assert mae128.encoder_width // mae128.encoder_heads == 128
+    assert mae128.decoder_width // mae128.decoder_heads == 128
+
 
 @pytest.fixture(scope="module")
 def tiny_clip():
