@@ -119,6 +119,14 @@ register_model("CLIP_VITL14")(
                   vision_heads=16, text_width=768, text_heads=12,
                   text_layers=12)
 )
+register_model("CLIP_VITL14_H128")(
+    # TPU speed geometry for ViT-L (see CLIP_VITB16_H128): 8 heads of
+    # dim 128 instead of 16 of 64.  Attention fwd+bwd at ViT-L pretrain
+    # shapes (S=1025, W=1024): 13.75 -> 9.00 ms (bench_attention, v5e).
+    _clip_factory(patch_size=14, vision_width=1024, vision_layers=24,
+                  vision_heads=8, text_width=768, text_heads=12,
+                  text_layers=12)
+)
 register_model("CLIP_VITL14_336PX")(
     _clip_factory(patch_size=14, vision_width=1024, vision_layers=24,
                   vision_heads=16, image_size=336, text_width=768,
@@ -134,20 +142,25 @@ def _vclm_vitb16(
     dtype=None,
     pipeline: bool = False,
     pipeline_microbatches: int = 8,
+    vision_heads: int = 12,
+    heads: int = 8,
     **_unused,
 ):
     """Narrator VCLM: ViT-B/16 video tokens + gated-cross-attn causal
     decoder (the reference's LaViLa narrator role,
-    ``second_party/lavilla_narrator``)."""
+    ``second_party/lavilla_narrator``).  ``vision_heads``/``heads``
+    expose the H128 geometry (6/4) for from-scratch narrator training;
+    see CLIP_VITB16_H128."""
     import jax.numpy as jnp
 
     from avion_tpu.models.narrator import VCLM
 
     return VCLM(
-        vocab_size=49408, context_length=77, width=512, layers=12, heads=8,
+        vocab_size=49408, context_length=77, width=512, layers=12,
+        heads=heads,
         cross_every=cross_every, image_size=224, patch_size=16,
         num_frames=num_frames, vision_width=768, vision_layers=12,
-        vision_heads=12, use_flash=use_flash_attn,
+        vision_heads=vision_heads, use_flash=use_flash_attn,
         dtype=dtype if dtype is not None else jnp.bfloat16,
         pipeline=pipeline, pipeline_microbatches=pipeline_microbatches,
     )

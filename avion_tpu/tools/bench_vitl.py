@@ -28,14 +28,15 @@ def model_fwd_flops():
                           tw=768, tl=12, ctx=77)
 
 
-def bench(batch: int, warmup: int = 3, iters: int = 10):
+def bench(batch: int, warmup: int = 3, iters: int = 10,
+          model_name: str = "CLIP_VITL14"):
     from avion_tpu.core.config import OptimConfig
     from avion_tpu.core.train_state import TrainState
     from avion_tpu.models import create_model
     from avion_tpu.optim import build_optimizer
     from avion_tpu.train.steps import make_clip_train_step
 
-    model = create_model("CLIP_VITL14", num_frames=4,
+    model = create_model(model_name, num_frames=4,
                          use_grad_checkpointing=True, use_flash_attn=True,
                          project_embed_dim=768)
     rng = jax.random.PRNGKey(0)
@@ -63,10 +64,16 @@ def bench(batch: int, warmup: int = 3, iters: int = 10):
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
+    model_name = "CLIP_VITL14"
+    if "--model" in argv:
+        i = argv.index("--model")
+        model_name = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    tag = "vitl14" if model_name == "CLIP_VITL14" else model_name.lower()
     batches = [int(argv[0])] if argv else [96, 64, 48, 32]
     for b in batches:
         try:
-            r, dt = bench(b)
+            r, dt = bench(b, model_name=model_name)
         except Exception as e:
             msg = str(e).lower()
             if any(t in msg for t in ("hbm", "memory", "compile",
@@ -76,7 +83,7 @@ def main(argv=None):
             raise
         mfu = r * 3 * model_fwd_flops() / V5E_PEAK_FLOPS
         print(json.dumps({
-            "metric": f"clips_per_sec_per_chip_vitl14_pretrain_b{b}",
+            "metric": f"clips_per_sec_per_chip_{tag}_pretrain_b{b}",
             "value": round(r, 2), "unit": "clips/s/chip",
             "mfu": round(mfu, 4), "step_ms": round(dt * 1e3, 1),
         }))

@@ -33,6 +33,10 @@ def test_h128_variant_matches_vitb16_param_shapes():
     assert mae128.encoder_width // mae128.encoder_heads == 128
     assert mae128.decoder_width // mae128.decoder_heads == 128
 
+    l128 = create_model("CLIP_VITL14_H128")
+    assert l128.vision_width // l128.vision_heads == 128
+    assert (l128.vision_width, l128.vision_layers) == (1024, 24)
+
 
 @pytest.fixture(scope="module")
 def tiny_clip():
