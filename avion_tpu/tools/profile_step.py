@@ -9,7 +9,8 @@ slice/pad data-movement tax fixed in round 2 (docs/PERF.md item 6).
 Usage::
 
     python -m avion_tpu.tools.profile_step [--batch 224] [--steps 2]
-        [--model CLIP_VITB16] [--out /tmp/steptrace] [--top 25]
+        [--model CLIP_VITB16] [--remat save_attn] [--out /tmp/steptrace]
+        [--top 25]
 
 Works through the remote-tunnel backend (the trace contains a
 ``/device:TPU`` process with per-fusion events, source lines, and
@@ -74,6 +75,10 @@ def main(argv=None):
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--trace-only", default=None,
                     help="skip capture; analyze this existing trace dir")
+    ap.add_argument("--model", default="CLIP_VITB16")
+    ap.add_argument("--remat", default=None,
+                    help="remat policy (default: save_attn; b256 needs "
+                         "save_attn_k10)")
     args = ap.parse_args(argv)
 
     if args.trace_only is None:
@@ -85,7 +90,9 @@ def main(argv=None):
                 osp.dirname(osp.abspath(__file__)))), "bench.py"))
         m = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(m)
-        step, state, data = m.build(args.batch)
+        remat = args.remat or ("save_attn_k10" if args.batch >= 256
+                               else "save_attn")
+        step, state, data = m.build(args.batch, remat, args.model)
         rng = jax.random.PRNGKey(1)
         for _ in range(3):  # warm up + compile outside the trace
             state, metrics = step(state, data, rng)

@@ -104,6 +104,42 @@ def test_odd_heads_and_small_head_dim(rng):
                                    atol=2e-5, rtol=2e-5)
 
 
+def test_head_dim_128_geometry(rng):
+    """The H128 model variants (CLIP_VITB16_H128 etc.) run hpp=1 with a
+    full 128-lane stripe per head: forward + grads vs XLA."""
+    q, k, v = _mk(rng, b=2, s=130, h=2, d=128)
+    ref = xla_attention(q, k, v)
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, interpret=True)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_ref(q, k, v):
+        o = xla_attention(q, k, v)
+        return jnp.sum(o * jnp.cos(o))
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4,
+                                   err_msg=f"d{name} mismatch")
+
+    # fused-qkv entry at d=128 (the H128 model path)
+    from avion_tpu.ops.flash_attention import flash_attention_fused_qkv
+
+    qkv_p, q_, k_, v_ = _mk_fused(rng, b=2, s=130, h=2, d=128,
+                                  pad_mode="garbage")
+    ref = xla_attention(q_, k_, v_)
+    out = flash_attention_fused_qkv(qkv_p, 2, 130, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out[:, :130].reshape(2, 130, 2, 128)), np.asarray(ref),
+        atol=2e-5, rtol=2e-5)
+
+
 # ---------------------------------------------------------------------------
 # fused-qkv (zero-copy views) entry
 # ---------------------------------------------------------------------------
