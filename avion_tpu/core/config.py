@@ -103,6 +103,10 @@ class ModelConfig:
     moe_experts: int = 0  # V-MoE visual tower; shard experts over mesh.ep
     moe_aux_weight: float = 0.01  # router load-balance loss weight
     moe_zloss_weight: float = 0.0  # optional router z-loss (0 = off)
+    # uint8 batches normalize inside the rematerialized stem instead of
+    # in prep_video — the batch-256 HBM lever (docs/PERF.md):
+    # none | openai | imagenet
+    input_norm: str = "none"
     use_fast_conv1: bool = True
     use_flash_attn: bool = True
     use_quick_gelu: bool = True  # reference silently drops this; we honor it
@@ -143,6 +147,12 @@ class DataConfig:
     decode_threads: int = 4
     fused_decode_crop: bool = True
     decode_size: int = 256  # short side decoded by host when not fused
+    # fast decode profile: skip the H.264 in-loop deblocking filter +
+    # fast bilinear scaling (~1.5-2x decode speedup; artifacts are
+    # negligible after training downscale — docs/PERF.md).  Default
+    # None = on for training datasets, off for eval; set false for
+    # bit-exact parity with the reference decode path
+    decode_fast: Optional[bool] = None
     # augmentation
     crop_size: int = 224
     scale_min: float = 0.5  # RRC range, clip_dataset.py:40

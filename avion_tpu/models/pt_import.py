@@ -316,6 +316,13 @@ def merge_into_params(init_params: Dict[str, Any], imported: Dict[str, Any],
 
     out = jax.tree_util.tree_map(np.asarray, init_params)
     walk(out, imported)
+    if stats["loaded"] == 0 and imported:
+        # nothing matched: with strict=False every key was skipped and
+        # the caller would silently train from the fresh-init template
+        # believing it loaded pretrained weights
+        raise ValueError(
+            f"checkpoint overlay matched 0 tensors "
+            f"(skipped e.g. {stats['skipped'][:5]})")
     if verbose:
         msg = f"[pt_import] loaded {stats['loaded']} tensors"
         if stats["skipped"]:

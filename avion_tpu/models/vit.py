@@ -94,9 +94,9 @@ class VisionTransformer(nn.Module):
 
         def stem(kernel, v):
             if norm_stats is not None:
-                mean = jnp.asarray(norm_stats[0], jnp.float32) * 255.0
-                std = jnp.asarray(norm_stats[1], jnp.float32) * 255.0
-                v = ((v.astype(jnp.float32) - mean) / std).astype(self.dtype)
+                from avion_tpu.data.transforms import normalize_video
+
+                v = normalize_video(v, *norm_stats, dtype=self.dtype)
             v = v.reshape(b, t, gh, p, gw, p, c)
             v = v.transpose(0, 1, 2, 4, 3, 5, 6)
             v = v.reshape(b, t, n, p * p * c)

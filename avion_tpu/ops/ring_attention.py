@@ -204,13 +204,20 @@ def _ring_flash_fwd(q, k, v, heads, sm_scale, causal, axis_name, interpret):
         o_j, lse_j = _fwd(q, kv_cur[0], kv_cur[1], heads, sm_scale, False,
                           None, interpret,
                           extra_bias=_ring_hop_bias(j, i, causal))
-        o_acc, lse_acc = _merge_packed(o_acc, lse_acc, o_j, lse_j, heads)
+        o_acc, lse_acc = _merge_packed(o_acc, lse_acc,
+                                       o_j.astype(jnp.float32), lse_j,
+                                       heads)
         return (kv_cur, o_acc, lse_acc), None
 
     kv = jnp.stack([k, v])
     if n > 1:
-        (kv, out, lse), _ = jax.lax.scan(hop, (kv, out, lse),
-                                         jnp.arange(1, n))
+        # merge/rescale the running output in f32: each hop re-weights
+        # the accumulator, and n-1 rounds of bf16 re-rounding would
+        # compound (the in-kernel accumulation and the XLA ring
+        # fallback both carry f32 accumulators already)
+        (kv, out, lse), _ = jax.lax.scan(
+            hop, (kv, out.astype(jnp.float32), lse), jnp.arange(1, n))
+        out = out.astype(q.dtype)
     return out, lse
 
 

@@ -48,8 +48,10 @@ _ROW_PARALLEL = ("out_proj", "fc2")
 # leading dim over "pp"; see parallel/pipeline.py _LEAF_PATHS and
 # pipeline_gated.py _SELF_PATHS/_CROSS_PATHS)
 _PIPE_LEAVES = ("ln1_", "ln2_", "qkv_", "out_kernel", "out_bias",
-                "fc1_", "fc2_", "lnx_", "lnxm_", "xattn_", "xmlp_",
-                "gate_attn", "gate_mlp")
+                "fc1_", "fc2_", "lnx_", "lnxm_", "xattn_", "xmlp_")
+# (gate_attn/gate_mlp are shape-[G] scalars-per-group: the ndim<=1
+# early-return below replicates them, so listing them here would be
+# dead config — they stay replicated by design)
 
 
 def _spec_for_param(path: str, shape, mesh: Mesh) -> P:

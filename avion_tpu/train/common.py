@@ -46,15 +46,24 @@ def load_pretrained_params(path: str, template: Any, *, num_frames: int = 16,
             ),
         )
         params = restored["state"]["params"]
-    except Exception:
+    except Exception as template_err:
         # layout mismatch (e.g. pipelined stacked params vs sequential
-        # template, or vice versa): restore raw, convert, overlay
+        # template, or vice versa): restore raw, convert, overlay.  If
+        # the RAW restore also fails the checkpoint itself is bad
+        # (truncation, permissions, ...) — surface the original error
+        # instead of a misleading fallback traceback.
         from avion_tpu.models.pt_import import merge_into_params
 
-        restored = mngr.restore(
-            step, args=ocp.args.Composite(state=ocp.args.StandardRestore()))
-        params = merge_into_params(template, restored["state"]["params"],
-                                   strict=strict)
+        try:
+            restored = mngr.restore(
+                step,
+                args=ocp.args.Composite(state=ocp.args.StandardRestore()))
+            params = merge_into_params(template,
+                                       restored["state"]["params"],
+                                       strict=strict)
+        except Exception:
+            mngr.close()
+            raise template_err
     mngr.close()
     return params
 

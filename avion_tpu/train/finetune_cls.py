@@ -121,7 +121,8 @@ def main(argv=None):
     train_ds = VideoClassyDataset(
         "ek100_cls", d.root, d.train_metadata, is_training=True,
         clip_length=d.clip_length, chunk_len=d.chunk_len,
-        threads=d.decode_threads, label_mapping=mapping,
+        threads=d.decode_threads, decode_fast=d.decode_fast,
+        label_mapping=mapping,
         num_sample=d.repeated_aug,
         augment=AugmentSpec(crop_size=d.crop_size, mode="rrc",
                             scale_min=d.scale_min, scale_max=d.scale_max),

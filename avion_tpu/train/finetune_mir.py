@@ -52,7 +52,7 @@ def main(argv=None):
     train_ds = VideoCaptionDataset(
         "ek100_mir", d.root, d.train_metadata, is_training=True,
         clip_length=d.clip_length, chunk_len=d.chunk_len,
-        threads=d.decode_threads,
+        threads=d.decode_threads, decode_fast=d.decode_fast,
         augment=AugmentSpec(crop_size=d.crop_size, mode="rrc",
                             scale_min=d.scale_min, scale_max=d.scale_max),
     )
@@ -67,6 +67,7 @@ def main(argv=None):
         use_quick_gelu=cfg.model.use_quick_gelu,
         use_flash_attn=cfg.model.use_flash_attn,
         use_grad_checkpointing=cfg.model.use_grad_checkpointing,
+        input_norm=cfg.model.input_norm,
     )
     rng = jax.random.PRNGKey(cfg.seed)
     video = jnp.zeros((2, d.clip_length, model.image_size, model.image_size, 3),

@@ -99,14 +99,19 @@ def train_one_epoch(
 
     import jax.numpy as jnp
 
+    # batches of this epoch consumed before this process started (a
+    # prior preemption); the loop counter i is relative to THIS process,
+    # so a second preemption must checkpoint skipped + i
+    skipped = 0
     if run.start_batch and epoch == run.start_epoch \
             and hasattr(loader, "skip_batches"):
         # mid-epoch preemption resume: continue at the next batch of the
         # (deterministically re-seeded) epoch permutation instead of
         # replaying the whole epoch
-        loader.skip_batches = run.start_batch
+        skipped = run.start_batch
+        loader.skip_batches = skipped
         run.start_batch = 0
-        print(f"[resume] skipping {loader.skip_batches} consumed batches")
+        print(f"[resume] skipping {skipped} consumed batches")
 
     it = iter(device_prefetch(loader, run.mesh, depth=2,
                               transform=extra_batch_fn))
@@ -127,10 +132,10 @@ def train_one_epoch(
             i += 1
             if preempted():
                 # SIGTERM from the scheduler: checkpoint mid-epoch and
-                # stop; auto-resume picks up at batch i of this epoch
-                # (submitit-requeue elasticity,
+                # stop; auto-resume picks up at the next absolute batch
+                # of this epoch (submitit-requeue elasticity,
                 # run_with_submit_lavila_pretrain.py:53-59)
-                save_epoch(run, epoch - 1, batch_in_epoch=i)
+                save_epoch(run, epoch - 1, batch_in_epoch=skipped + i)
                 run.ckpt.wait()
                 break
             run.state, metrics = run.step(run.state, batch, rng)

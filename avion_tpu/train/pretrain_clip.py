@@ -60,6 +60,7 @@ def build_model_and_state(cfg: TrainConfig, niter_per_ep: int):
         pipeline_microbatches=m.pipeline_microbatches,
         patch_dropout=m.patch_dropout,
         pooling=m.pooling,
+        input_norm=m.input_norm,
         freeze_temperature=m.freeze_temperature,
         temperature_init=m.temperature_init,
     )
@@ -94,7 +95,7 @@ def build_loaders(cfg: TrainConfig):
     train_ds = VideoCaptionDataset(
         d.dataset, d.root, d.train_metadata,
         is_training=True, clip_length=d.clip_length, chunk_len=d.chunk_len,
-        fps=d.fps, threads=d.decode_threads,
+        fps=d.fps, threads=d.decode_threads, decode_fast=d.decode_fast,
         augment=AugmentSpec(
             crop_size=d.crop_size,
             # fused_decode_crop=False moves the crop/resize/flip work to

@@ -86,7 +86,7 @@ def main(argv=None):
     train_ds = VideoCaptionDataset(
         "ego4d", d.root, d.train_metadata, is_training=True,
         clip_length=d.clip_length, chunk_len=d.chunk_len, fps=d.fps,
-        threads=d.decode_threads,
+        threads=d.decode_threads, decode_fast=d.decode_fast,
         context_length=model.context_length,
         augment=AugmentSpec(crop_size=d.crop_size, mode="rrc",
                             scale_min=d.scale_min, scale_max=d.scale_max),

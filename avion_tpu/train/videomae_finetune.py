@@ -98,6 +98,7 @@ def main(argv=None):
         "kinetics", d.root, d.train_metadata, is_training=True,
         clip_length=d.clip_length, clip_stride=d.clip_stride,
         threads=d.decode_threads, num_sample=d.repeated_aug,
+        decode_fast=d.decode_fast,
         augment=AugmentSpec(crop_size=d.crop_size, mode="rrc",
                             scale_min=d.scale_min, scale_max=d.scale_max,
                             hflip_prob=0.5),

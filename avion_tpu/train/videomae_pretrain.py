@@ -56,6 +56,7 @@ def main(argv=None):
     train_ds = KineticsDataset(
         d.root, d.train_metadata, clip_length=d.clip_length,
         clip_stride=d.clip_stride, threads=d.decode_threads,
+        decode_fast=d.decode_fast,
         crop_size=d.crop_size, patch_size=cfg.model.patch_size,
         tubelet_size=cfg.model.tubelet_size, mask_ratio=d.mask_ratio,
         augment=AugmentSpec(crop_size=d.crop_size, mode="msc",

@@ -359,3 +359,27 @@ def test_repeated_augmentation(tmp_path):
                         num_workers=0)
     b = next(iter(loader))
     assert b["video"].shape[0] == 4  # 2 items x 2 samples
+
+
+def test_decode_fast_config_reachable(ego4d_root):
+    """data.decode_fast overrides the is_training default (the lossy
+    fast-decode profile must be opt-out-able for bit-exact parity with
+    the reference decode path)."""
+    from avion_tpu.core.config import TrainConfig
+
+    cfg = TrainConfig().apply_overrides(["data.decode_fast=false"])
+    assert cfg.data.decode_fast is False
+    assert TrainConfig().data.decode_fast is None  # auto = is_training
+
+    root, meta = ego4d_root
+    aug = AugmentSpec(crop_size=32, mode="rrc")
+    ds_auto = VideoCaptionDataset(
+        "ego4d", root, meta, is_training=True, clip_length=2,
+        chunk_len=CHUNK, fps=FPS, augment=aug)
+    ds_off = VideoCaptionDataset(
+        "ego4d", root, meta, is_training=True, clip_length=2,
+        chunk_len=CHUNK, fps=FPS, augment=aug,
+        decode_fast=cfg.data.decode_fast)
+    assert ds_auto.decode_fast is True
+    assert ds_off.decode_fast is False
+    assert ds_off[0]["video"].shape == (2, 32, 32, 3)

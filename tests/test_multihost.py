@@ -286,3 +286,78 @@ def test_midepoch_resume_continues_at_next_batch(tmp_path):
     expect = [order[b : b + 8].tolist() for b in range(3 * 8, 32, 8)]
     assert seen == expect, (seen, expect)
     run2.ckpt.wait()
+
+
+def test_double_preemption_checkpoints_absolute_batch(tmp_path):
+    """A SECOND preemption inside an already-mid-epoch-resumed epoch
+    must checkpoint the ABSOLUTE in-epoch batch index (skipped + i),
+    not the loop-relative one — otherwise the next resume replays the
+    batches between the two preemption points."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from avion_tpu.core.config import TrainConfig
+    from avion_tpu.data.loader import DataLoader
+    from avion_tpu.parallel.launch import _PREEMPTED
+    from avion_tpu.train.loop import save_epoch, setup_run, train_one_epoch
+
+    class DS:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return {"x": np.full((4,), i, np.float32)}
+
+    def fake_step(state, batch, rng):
+        return (state.replace(step=state.step + 1),
+                {"loss": jnp.mean(batch["x"])})
+
+    params = {"w": np.zeros((4,), np.float32)}
+    tx = optax.sgd(1e-2)
+    cfg = TrainConfig()
+    cfg.output_dir = str(tmp_path / "run")
+    cfg.mesh.data = 8
+    cfg.print_freq = 100
+
+    run = setup_run(cfg, params, tx, fake_step)
+    save_epoch(run, -1, batch_in_epoch=3)  # first preemption at batch 3
+    run.ckpt.wait()
+
+    run2 = setup_run(cfg, params, tx, fake_step)
+    assert run2.start_batch == 3
+    loader = DataLoader(DS(), 8, shuffle=True, drop_last=True,
+                        num_workers=0, seed=7)
+    loader.set_epoch(0)
+    n = {"n": 0}
+
+    def poke(batch):
+        # counts FETCHES (device_prefetch runs depth=2 ahead of steps):
+        # fill fetches 2, the first loop step fetches one more, the
+        # second fetch after that (n==4) fires the flag -> the loop
+        # sees preempted() at i=1, after one completed step
+        n["n"] += 1
+        if n["n"] == 4:
+            _PREEMPTED["flag"] = True
+        return batch
+
+    try:
+        train_one_epoch(run2, loader, 0, jax.random.PRNGKey(0),
+                        extra_batch_fn=poke)
+        run2.ckpt.wait()
+    finally:
+        _PREEMPTED["flag"] = False
+
+    run3 = setup_run(cfg, params, tx, fake_step)
+    # absolute progress = 3 skipped + steps completed this process
+    # (exact step count depends on prefetch fill timing; the state's
+    # step counter is the ground truth).  The pre-fix code checkpointed
+    # the loop-relative index, i.e. start_batch would equal the step
+    # count alone.
+    steps_done = int(run3.state.step)
+    assert steps_done >= 1
+    assert run3.start_epoch == 0 and run3.start_batch == 3 + steps_done, (
+        run3.start_batch, steps_done)
+    run.ckpt.wait()
+    run2.ckpt.wait()
+    run3.ckpt.wait()

@@ -148,3 +148,40 @@ def test_pretrain_entry_pipeline_parallel(tiny_ego4d, tmp_path):
     for k in ("image_embed", "text_embed"):
         np.testing.assert_allclose(got[k], np.asarray(out_seq[k]),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_pretrain_entry_input_norm_config(tiny_ego4d, tmp_path):
+    """model.input_norm (the b256 normalize-in-stem HBM lever) is
+    reachable from the training entry, not just the bench harness."""
+    root, meta = tiny_ego4d
+    out = str(tmp_path / "run_norm")
+    from avion_tpu.train.pretrain_clip import build_model_and_state, main
+
+    args = [
+        "model.name=CLIP_TINY",
+        "model.use_flash_attn=false",
+        "model.input_norm=openai",
+        f"data.root={root}",
+        f"data.train_metadata={meta}",
+        f"data.chunk_len={CHUNK}",
+        f"data.fps={FPS}",
+        "data.clip_length=2",
+        "data.crop_size=32",
+        "data.batch_size=8",
+        "data.num_workers=0",
+        "optim.epochs=1",
+        "optim.lr=1e-3",
+        "optim.warmup_epochs=0",
+        f"output_dir={out}",
+        "eval_freq=0",
+        "print_freq=1",
+        "mesh.data=8",
+    ]
+    main(args)
+    assert osp.exists(osp.join(out, "log.jsonl"))
+    # and the built model object really carries the stem-normalize flag
+    from avion_tpu.core.config import TrainConfig
+
+    cfg = TrainConfig().apply_overrides(args)
+    model, *_ = build_model_and_state(cfg, niter_per_ep=1)
+    assert model.input_norm == "openai"
