@@ -185,8 +185,13 @@ def main():
     # batch 256 (the reference-named config) runs with save_attn_k10
     # (memory-probed: k10 compiles to the same 14.34 GB temp as k9 —
     # one less recomputed layer for free; k11 needs 15.14 GB and OOMs);
-    # smaller batches keep all attention residuals
-    for batch, policy in ((256, "save_attn_k10"), (224, "save_attn"),
+    # smaller batches keep all attention residuals.  H128 geometries
+    # halve the lse residual (one head-group per head), which frees
+    # enough HBM that b256 keeps ALL attention residuals (measured:
+    # 210.93 clips/s with save_attn vs 208.95 with k10).
+    b256_policy = ("save_attn" if model_name.endswith("_H128")
+                   else "save_attn_k10")
+    for batch, policy in ((256, b256_policy), (224, "save_attn"),
                           (192, "save_attn"), (128, "save_attn"),
                           (64, "save_attn"), (32, "save_attn")):
         try:
