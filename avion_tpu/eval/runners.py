@@ -33,6 +33,36 @@ from avion_tpu.eval.retrieval_metrics import get_map, get_ndcg
 _ENCODER_CACHE: dict = {}
 
 
+def cast_inference_params(params, model):
+    """Pre-cast matrix params (kernels, embedding tables; ndim >= 2) to
+    the model's bf16 compute dtype for inference.
+
+    Numerically identical to leaving them f32: flax's ``promote_dtype``
+    casts weights to the compute dtype at every use anyway, so the
+    f32->bf16 rounding happens either way — pre-casting just moves it
+    out of the graph, HALVING weight HBM traffic per encode call (the
+    dominant cost at small serving batches).  Vectors/scalars (biases,
+    LayerNorm, gates, logit_scale) stay f32: tiny, and fp32-LN reads
+    them at f32.  No-op for f32-compute models (CPU tests)."""
+    import jax.numpy as jnp
+
+    if getattr(model, "dtype", None) != jnp.bfloat16:
+        return params
+
+    def cast(path, x):
+        name = "/".join(str(getattr(k, "key", k)) for k in path).lower()
+        # positional/temporal tables are ADDED in f32 before the cast
+        # to compute dtype (vit.py cls_tok = (cls + pos[0]).astype):
+        # pre-rounding them would change outputs — keep f32 (tiny)
+        if "positional" in name or "temporal" in name:
+            return x
+        if hasattr(x, "ndim") and x.ndim >= 2 and x.dtype == jnp.float32:
+            return x.astype(jnp.bfloat16)
+        return x
+
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
 class CLIPEncoders:
     """Jitted, batch-padded encode functions over a CLIP model.
 
@@ -45,7 +75,7 @@ class CLIPEncoders:
         from avion_tpu.data.transforms import OPENAI_MEAN, OPENAI_STD
 
         self.model = model
-        self.params = params
+        self.params = cast_inference_params(params, model)
         self.batch = batch
         self.mesh = mesh
         if mesh is not None:
@@ -92,7 +122,7 @@ class CLIPEncoders:
             enc = cls(model, params, batch=batch, mesh=mesh)
             _ENCODER_CACHE[key] = enc
         else:
-            enc.params = params
+            enc.params = cast_inference_params(params, model)
         return enc
 
     def _put(self, chunk):

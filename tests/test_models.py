@@ -215,3 +215,45 @@ def test_save_attn_kn_policy_grads_match():
         lambda a, b: np.testing.assert_allclose(np.asarray(a),
                                                 np.asarray(b), atol=1e-6),
         g0, g1)
+
+
+def test_inference_param_cast_is_exact():
+    """cast_inference_params (bf16 weight storage for serving/eval)
+    must be numerically IDENTICAL to f32 storage: the bf16-compute
+    model casts every matrix param to bf16 at use anyway, so the
+    rounding happens either way."""
+    from avion_tpu.eval.runners import cast_inference_params
+    from avion_tpu.models.clip import CLIP
+
+    model = CLIP(
+        embed_dim=32, image_size=32, patch_size=16, num_frames=2,
+        vision_width=64, vision_layers=2, vision_heads=2,
+        context_length=13, vocab_size=128, text_width=32, text_heads=2,
+        text_layers=2, use_flash=False, dtype=jnp.bfloat16,
+    )
+    rng = jax.random.PRNGKey(0)
+    video = jax.random.randint(rng, (2, 2, 32, 32, 3), 0, 255,
+                               jnp.uint8).astype(jnp.float32) / 255.0
+    text = jnp.zeros((2, 13), jnp.int32).at[:, 3].set(127)
+    params = model.init(rng, video, text)["params"]
+    cast = cast_inference_params(params, model)
+
+    # matrix params became bf16; vectors/scalars stayed f32
+    leaves = jax.tree_util.tree_leaves(cast)
+    assert any(l.dtype == jnp.bfloat16 and l.ndim >= 2 for l in leaves)
+    assert all(l.dtype == jnp.float32 for l in leaves if l.ndim < 2)
+
+    out_f32 = model.apply({"params": params}, video, text)
+    out_cast = model.apply({"params": cast}, video, text)
+    for k in ("image_embed", "text_embed"):
+        np.testing.assert_array_equal(np.asarray(out_f32[k], np.float32),
+                                      np.asarray(out_cast[k], np.float32))
+
+    # f32-compute models are untouched
+    m32 = CLIP(
+        embed_dim=32, image_size=32, patch_size=16, num_frames=2,
+        vision_width=64, vision_layers=2, vision_heads=2,
+        context_length=13, vocab_size=128, text_width=32, text_heads=2,
+        text_layers=2, use_flash=False, dtype=jnp.float32,
+    )
+    assert cast_inference_params(params, m32) is params
