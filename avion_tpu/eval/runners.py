@@ -51,10 +51,14 @@ def cast_inference_params(params, model):
 
     def cast(path, x):
         name = "/".join(str(getattr(k, "key", k)) for k in path).lower()
-        # positional/temporal tables are ADDED in f32 before the cast
-        # to compute dtype (vit.py cls_tok = (cls + pos[0]).astype):
-        # pre-rounding them would change outputs — keep f32 (tiny)
-        if "positional" in name or "temporal" in name:
+        # tables consumed at f32 BEFORE the compute-dtype cast must
+        # stay f32 or outputs change: positional/temporal embeddings
+        # (vit.py cls_tok = (cls + pos[0]).astype), GPT-2 wte/wpe
+        # (gpt2_gated.py embeds add in f32; wte doubles as the tied
+        # LM head), and the VCLM token_embedding (f32 LM head matmul,
+        # narrator.py)
+        if any(k in name for k in ("positional", "temporal", "wte",
+                                   "wpe", "token_embedding", "pos_embed")):
             return x
         if hasattr(x, "ndim") and x.ndim >= 2 and x.dtype == jnp.float32:
             return x.astype(jnp.bfloat16)

@@ -41,6 +41,11 @@ def bench(batch: int, max_len: int, use_cache: bool, xl: bool,
     enc = jax.random.normal(rng, (batch, 256, w), jnp.bfloat16)
     params = jax.jit(dec.init)(rng, jnp.zeros((batch, 4), jnp.int32),
                                enc)["params"]
+    # production captioners store kernels in bf16 (token-exact; see
+    # docs/SERVING.md) — bench the same weight dtype
+    from avion_tpu.eval.runners import cast_inference_params
+
+    params = cast_inference_params(params, dec)
 
     def gen_cached(params, enc):
         cross = dec.apply({"params": params}, enc,

@@ -102,8 +102,13 @@ def vclm_captioner(model, params, *, num_samples: int = 3,
 
     from avion_tpu.data.tokenizer import _default_tokenizer
     from avion_tpu.data.transforms import normalize_video
+    from avion_tpu.eval.runners import cast_inference_params
     from avion_tpu.models.narrator import make_generator
 
+    # bf16 weight storage: exact (weights cast to compute dtype at use
+    # anyway) and halves the per-decode-step weight reads the cached
+    # generator is bound by (docs/SERVING.md)
+    params = cast_inference_params(params, model)
     tk = _default_tokenizer()
     gen = jax.jit(make_generator(model, max_len=max_len, top_p=top_p,
                                  temperature=temperature,
@@ -189,6 +194,10 @@ def lavila_captioner(checkpoint: Optional[str] = None, *,
 
         tokenizer = GPT2Tokenizer.from_pretrained("gpt2")
     bos = getattr(tokenizer, "eos_token_id", 50256)  # GPT-2: BOS == EOS
+
+    from avion_tpu.eval.runners import cast_inference_params
+
+    params = cast_inference_params(params, model)  # exact; see SERVING.md
 
     @jax.jit
     def _generate(params, video, rng):

@@ -388,3 +388,39 @@ def test_cached_generate_matches_uncached_greedy():
                        method=model.generate, max_len=10, rng=None,
                        use_cache=False)
     np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+
+def test_inference_param_cast_greedy_identical():
+    """bf16 weight storage (cast_inference_params) must not change a
+    single generated token: weights are cast to the compute dtype at
+    use anyway, and the f32-consumed tables (wte/wpe, pos embeds) are
+    excluded from the cast."""
+    from avion_tpu.eval.runners import cast_inference_params
+
+    rs = np.random.RandomState(7)
+    sd = _mk_state(rs)
+    model = LavilaNarrator(
+        image_size=IMG, patch_size=PATCH, num_frames=FRAMES,
+        vision_width=VW, vision_layers=VL, vision_heads=VH,
+        vocab_size=VOCAB, text_width=TW, text_layers=TL, text_heads=TH,
+        cross_freq=CROSS_FREQ, gated_xattn=True, num_img_queries=NQ,
+        max_positions=64,
+        pool_heads=POOL_H, pool_dim_head=POOL_D, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(1)
+    video = jax.random.normal(rng, (2, FRAMES, IMG, IMG, 3), jnp.float32)
+    prompt = jnp.asarray([[3, 5], [1, 2]], jnp.int32)
+    params = model.init(rng, video, jnp.zeros((2, 6), jnp.int32))["params"]
+    params = merge_into_params(params, import_lavila_narrator_pt(
+        {k: v.numpy() for k, v in sd.items()}), strict=True)
+    cast = cast_inference_params(params, model)
+    assert any(l.dtype == jnp.bfloat16
+               for l in jax.tree_util.tree_leaves(cast))
+
+    for use_cache in (True, False):
+        a = model.apply({"params": params}, video, prompt,
+                        method=model.generate, max_len=10, rng=None,
+                        use_cache=use_cache)
+        b = model.apply({"params": cast}, video, prompt,
+                        method=model.generate, max_len=10, rng=None,
+                        use_cache=use_cache)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

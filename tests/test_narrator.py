@@ -210,3 +210,32 @@ def test_vclm_cached_generation_matches_uncached(tiny_vclm):
     slow = jax.jit(make_generator(model, max_len=9, sot=62, eot=63,
                                   use_cache=False))(params, video, key)
     np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+
+def test_vclm_inference_cast_generates_identical():
+    """bf16 weight storage for the VCLM generator is token-exact: the
+    bf16-compute model casts kernels at use anyway; token_embedding
+    (f32 LM head) and pos_embed (f32 adds) are excluded from the cast."""
+    from avion_tpu.eval.runners import cast_inference_params
+
+    model = VCLM(
+        vocab_size=64, context_length=12, width=32, layers=2, heads=2,
+        cross_every=1, image_size=32, patch_size=16, num_frames=2,
+        vision_width=32, vision_layers=1, vision_heads=2,
+        use_flash=False, dtype=jnp.bfloat16,
+    )
+    rng = jax.random.PRNGKey(3)
+    video = jax.random.normal(rng, (2, 2, 32, 32, 3), jnp.float32)
+    tokens = jnp.zeros((2, 12), jnp.int32)
+    params = model.init(rng, video, tokens)["params"]
+    cast = cast_inference_params(params, model)
+    assert any(l.dtype == jnp.bfloat16
+               for l in jax.tree_util.tree_leaves(cast))
+
+    key = jax.random.PRNGKey(11)
+    for use_cache in (True, False):
+        gen = jax.jit(make_generator(model, max_len=9, sot=62, eot=63,
+                                     use_cache=use_cache))
+        a = gen(params, video, key)
+        b = gen(cast, video, key)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
