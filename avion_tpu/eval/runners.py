@@ -57,8 +57,12 @@ def cast_inference_params(params, model):
         # (gpt2_gated.py embeds add in f32; wte doubles as the tied
         # LM head), and the VCLM token_embedding (f32 LM head matmul,
         # narrator.py)
+        # the MoE router Dense is declared dtype=f32 (ops/moe.py) so
+        # its kernel is consumed at f32 — bf16 rounding would flip
+        # discrete top-k routing decisions
         if any(k in name for k in ("positional", "temporal", "wte",
-                                   "wpe", "token_embedding", "pos_embed")):
+                                   "wpe", "token_embedding", "pos_embed",
+                                   "router")):
             return x
         if hasattr(x, "ndim") and x.ndim >= 2 and x.dtype == jnp.float32:
             return x.astype(jnp.bfloat16)

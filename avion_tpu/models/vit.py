@@ -75,6 +75,11 @@ class VisionTransformer(nn.Module):
         p = self.patch_size
         gh, gw = h // p, w // p
         n = gh * gw
+        if self.input_norm not in ("none", "openai", "imagenet"):
+            # CLI-reachable (model.input_norm=...): a typo must not
+            # silently train with the wrong normalization stats
+            raise ValueError(f"input_norm must be none|openai|imagenet, "
+                             f"got {self.input_norm!r}")
         norm_stats = None
         if self.input_norm != "none" and x.dtype == jnp.uint8:
             from avion_tpu.data.transforms import (IMAGENET_MEAN,

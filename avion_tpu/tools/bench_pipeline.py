@@ -164,6 +164,7 @@ def main(argv=None):
 
         timer = StepTimer()
         n = 0
+        marked = 0
         t_start = time.perf_counter()
         while n < args.steps:
             t_fetch = time.perf_counter()
@@ -173,7 +174,8 @@ def main(argv=None):
             n += 1
             if n % 5 == 0 or n == args.steps:
                 float(m["loss"])  # force the chain to the device
-                timer.mark_window(min(n, 5))
+                timer.mark_window(n - marked)
+                marked = n
         loss = float(m["loss"])
         wall = time.perf_counter() - t_start
     loader.close()
@@ -185,16 +187,19 @@ def main(argv=None):
         # device_put + dispatch at an unbounded decode-supply rate
         import itertools
 
-        pool_it = iter(DataLoader(ds, args.batch, shuffle=True,
-                                  drop_last=True, num_workers=args.workers,
-                                  prefetch_depth=2, infinite=True))
+        pool_loader = DataLoader(ds, args.batch, shuffle=True,
+                                 drop_last=True, num_workers=args.workers,
+                                 prefetch_depth=2, infinite=True)
+        pool_it = iter(pool_loader)
         pool = [next(pool_it) for _ in range(4)]
+        pool_loader.close()  # pool decoded; workers no longer needed
         rit = device_prefetch(itertools.cycle(pool), mesh, depth=2)
-        rtimer = StepTimer()
         with jax.set_mesh(mesh):
             state, m = step(state, next(rit), rng)
             float(m["loss"])
+            rtimer = StepTimer()  # AFTER warmup: windows time only the loop
             n = 0
+            marked = 0
             rt0 = time.perf_counter()
             while n < args.steps:
                 t_fetch = time.perf_counter()
@@ -204,7 +209,8 @@ def main(argv=None):
                 n += 1
                 if n % 5 == 0 or n == args.steps:
                     float(m["loss"])
-                    rtimer.mark_window(min(n, 5))
+                    rtimer.mark_window(n - marked)
+                    marked = n
             rwall = time.perf_counter() - rt0
         rstats = rtimer.stats()
         replay = {

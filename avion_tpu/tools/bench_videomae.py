@@ -60,6 +60,8 @@ def main(argv=None):
     model_name = "VIDEOMAE_VITB16"
     if "--model" in argv:
         i = argv.index("--model")
+        if i + 1 >= len(argv):
+            raise SystemExit("usage: [batch] [--model NAME]")
         model_name = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     batches = [int(argv[0])] if argv else [128, 64, 32]

@@ -67,6 +67,8 @@ def main(argv=None):
     model_name = "CLIP_VITL14"
     if "--model" in argv:
         i = argv.index("--model")
+        if i + 1 >= len(argv):
+            raise SystemExit("usage: [batch] [--model NAME]")
         model_name = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     tag = "vitl14" if model_name == "CLIP_VITL14" else model_name.lower()

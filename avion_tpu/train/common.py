@@ -49,21 +49,27 @@ def load_pretrained_params(path: str, template: Any, *, num_frames: int = 16,
     except Exception as template_err:
         # layout mismatch (e.g. pipelined stacked params vs sequential
         # template, or vice versa): restore raw, convert, overlay.  If
-        # the RAW restore also fails the checkpoint itself is bad
+        # the RAW restore ALSO fails the checkpoint itself is bad
         # (truncation, permissions, ...) — surface the original error
-        # instead of a misleading fallback traceback.
+        # instead of a misleading fallback traceback.  Merge errors
+        # (shape mismatch, unknown keys, zero-tensor overlay) are the
+        # real diagnosis and propagate as-is.
         from avion_tpu.models.pt_import import merge_into_params
 
         try:
             restored = mngr.restore(
                 step,
                 args=ocp.args.Composite(state=ocp.args.StandardRestore()))
+        except Exception:
+            mngr.close()
+            raise template_err
+        try:
             params = merge_into_params(template,
                                        restored["state"]["params"],
                                        strict=strict)
         except Exception:
             mngr.close()
-            raise template_err
+            raise
     mngr.close()
     return params
 

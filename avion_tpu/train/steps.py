@@ -155,7 +155,8 @@ def make_mir_finetune_step(model, tx, margin: float = 0.2) -> Callable:
 
         def loss_fn(params):
             out = model.apply(
-                {"params": params}, prep_video(batch["video"]), batch["text"],
+                {"params": params},
+                prep_video(batch["video"], model=model), batch["text"],
                 False, rngs={"dropout": rng, "patch_dropout": rng},
             )
             d = max_margin_ranking_loss(

@@ -81,7 +81,11 @@ def main(argv=None):
         name, num_frames=d.clip_length,
         use_flash_attn=cfg.model.use_flash_attn,
         pipeline=cfg.model.pipeline,
-        pipeline_microbatches=cfg.model.pipeline_microbatches)
+        pipeline_microbatches=cfg.model.pipeline_microbatches,
+        # H128 speed geometry for from-scratch narrators:
+        # model.vision_heads=6 model.text_heads=4 (docs/PERF.md)
+        vision_heads=cfg.model.vision_heads,
+        heads=cfg.model.text_heads)
 
     train_ds = VideoCaptionDataset(
         "ego4d", d.root, d.train_metadata, is_training=True,

@@ -4,11 +4,13 @@
 # worker (scripts/launch_tpu_pod.sh) or a single host.
 set -euo pipefail
 
-# From-scratch runs (no reference-weight import) go ~13% faster with
+# From-scratch runs (no reference-weight import) go ~15% faster with
 # the TPU head geometry + the batch-256 HBM levers:
 #   model.name=CLIP_VITB16_H128 model.input_norm=openai \
-#   model.remat_policy=save_attn_k10 optim.state_dtype=bfloat16
-# (docs/PERF.md; keep CLIP_VITB16 when importing 12-head weights)
+#   optim.state_dtype=bfloat16
+# (H128 fits b256 with the default save_attn policy — docs/PERF.md;
+# the 12-head CLIP_VITB16 needs model.remat_policy=save_attn_k10 at
+# b256.  Keep CLIP_VITB16 when importing 12-head weights.)
 python -m avion_tpu.train.pretrain_clip \
   model.name=CLIP_VITB16 \
   model.use_grad_checkpointing=true \

@@ -257,3 +257,38 @@ def test_inference_param_cast_is_exact():
         text_layers=2, use_flash=False, dtype=jnp.float32,
     )
     assert cast_inference_params(params, m32) is params
+
+
+def test_inference_param_cast_excludes_moe_router():
+    """The MoE router Dense is f32-declared (routing decisions are
+    discrete top-k): the inference cast must leave its kernel f32 and
+    keep outputs identical."""
+    from avion_tpu.eval.runners import cast_inference_params
+    from avion_tpu.models.clip import CLIP
+
+    model = CLIP(
+        embed_dim=32, image_size=32, patch_size=16, num_frames=2,
+        vision_width=64, vision_layers=2, vision_heads=2,
+        context_length=13, vocab_size=128, text_width=32, text_heads=2,
+        text_layers=2, use_flash=False, dtype=jnp.bfloat16,
+        moe_experts=4,
+    )
+    rng = jax.random.PRNGKey(0)
+    video = jax.random.randint(rng, (2, 2, 32, 32, 3), 0, 255,
+                               jnp.uint8).astype(jnp.float32) / 255.0
+    text = jnp.zeros((2, 13), jnp.int32).at[:, 3].set(127)
+    params = model.init(rng, video, text)["params"]
+    cast = cast_inference_params(params, model)
+
+    flat = jax.tree_util.tree_flatten_with_path(cast)[0]
+    routers = [l for p, l in flat
+               if "router" in "/".join(str(getattr(k, "key", k))
+                                       for k in p).lower()]
+    assert routers and all(l.dtype == jnp.float32 for l in routers)
+
+    a = model.apply({"params": params}, video, text,
+                    mutable=["losses", "metrics", "moe_zloss"])[0]
+    b = model.apply({"params": cast}, video, text,
+                    mutable=["losses", "metrics", "moe_zloss"])[0]
+    np.testing.assert_array_equal(np.asarray(a["image_embed"], np.float32),
+                                  np.asarray(b["image_embed"], np.float32))
