@@ -45,8 +45,12 @@ class FeatureExtractor:
     def __init__(self, model, params, *, clip_length: int = 4,
                  window_sec: float = 2.0, fps: float = 30.0,
                  crop_size: int = 224, batch: int = 32):
+        from avion_tpu.eval.runners import cast_inference_params
+
         self.model = model
-        self.params = params
+        # bf16 weight storage: exact for bf16-compute models, halves
+        # weight HBM reads per window batch (docs/SERVING.md)
+        self.params = cast_inference_params(params, model)
         self.clip_length = clip_length
         self.window_sec = window_sec
         self.fps = fps

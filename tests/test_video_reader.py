@@ -165,3 +165,24 @@ def test_bframe_sequential_reads(bframe_video):
         assert abs(_bar_centroid(a[k]) - _expected_bar_centroid(fid) / 2) < 2
     for k, fid in enumerate((140, 141, 142, 143)):
         assert abs(_bar_centroid(bb[k]) - _expected_bar_centroid(fid) / 2) < 2
+
+
+def test_fast_profile_pixel_fidelity_and_frame_identity(bframe_video):
+    """decode_fast (loop-filter skip + fast bilinear) must return the
+    SAME frames (bar-identity check: off-by-one frames would shift the
+    bar by 7 px) with only small pixel-level deviation from the exact
+    profile."""
+    exact = VideoReader(bframe_video, backend="native", fast=False)
+    fast = VideoReader(bframe_video, backend="native", fast=True)
+    ids = [0, 7, 33, 61, 150, 299]
+    a = exact.get_batch(ids)
+    b = fast.get_batch(ids)
+    assert a.shape == b.shape
+    for k, i in enumerate(ids):
+        # same frame identity under both profiles
+        ca, cb = _bar_centroid(a[k]), _bar_centroid(b[k])
+        assert abs(ca - _expected_bar_centroid(i)) < 3.0, (i, ca)
+        assert abs(cb - _expected_bar_centroid(i)) < 3.0, (i, cb)
+        # deblocking-off artifacts are small on average
+        diff = np.abs(a[k].astype(np.float32) - b[k].astype(np.float32))
+        assert diff.mean() < 4.0, (i, diff.mean())
