@@ -33,6 +33,16 @@ from avion_tpu.eval.retrieval_metrics import get_map, get_ndcg
 _ENCODER_CACHE: dict = {}
 
 
+# params whose leaves are consumed at f32 BEFORE the compute-dtype
+# cast — pre-rounding them would change outputs: positional/temporal
+# embeddings (vit.py cls_tok = (cls + pos[0]).astype), GPT-2 wte/wpe
+# (embeds add in f32; wte doubles as the tied LM head), the VCLM
+# token_embedding (f32 LM-head matmul), and the MoE router (dtype=f32
+# Dense in ops/moe.py — rounding would flip discrete top-k routing)
+_CAST_EXCLUDE = ("positional", "temporal", "wte", "wpe",
+                 "token_embedding", "pos_embed", "router")
+
+
 def cast_inference_params(params, model):
     """Pre-cast matrix params (kernels, embedding tables; ndim >= 2) to
     the model's bf16 compute dtype for inference.
@@ -51,24 +61,62 @@ def cast_inference_params(params, model):
 
     def cast(path, x):
         name = "/".join(str(getattr(k, "key", k)) for k in path).lower()
-        # tables consumed at f32 BEFORE the compute-dtype cast must
-        # stay f32 or outputs change: positional/temporal embeddings
-        # (vit.py cls_tok = (cls + pos[0]).astype), GPT-2 wte/wpe
-        # (gpt2_gated.py embeds add in f32; wte doubles as the tied
-        # LM head), and the VCLM token_embedding (f32 LM head matmul,
-        # narrator.py)
-        # the MoE router Dense is declared dtype=f32 (ops/moe.py) so
-        # its kernel is consumed at f32 — bf16 rounding would flip
-        # discrete top-k routing decisions
-        if any(k in name for k in ("positional", "temporal", "wte",
-                                   "wpe", "token_embedding", "pos_embed",
-                                   "router")):
+        if any(k in name for k in _CAST_EXCLUDE):
             return x
         if hasattr(x, "ndim") and x.ndim >= 2 and x.dtype == jnp.float32:
             return x.astype(jnp.bfloat16)
         return x
 
     return jax.tree_util.tree_map_with_path(cast, params)
+
+
+def quantize_inference_params(params, model):
+    """Weight-only int8 quantization of matrix params for serving.
+
+    Per-output-channel symmetric scales (last axis); the same leaves
+    :func:`cast_inference_params` would keep f32 stay untouched.
+    Returns ``(leaves, scales, treedef)``: ``leaves[i]`` is the int8
+    tensor (or the original array where not quantized) and
+    ``scales[i]`` its f32 per-channel scale (or None).  Dequantize
+    inside the jitted encode with :func:`dequantize_params` — XLA then
+    reads ~1 byte/weight from HBM and reconstructs bf16 weights in
+    VMEM, halving weight traffic again over bf16 storage.
+
+    Unlike the bf16 cast this is LOSSY (~0.4% per-weight relative
+    error): opt-in for serving (``--weights int8``), never used for
+    training or metric-reporting eval."""
+    import jax.numpy as jnp
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    leaves, scales = [], []
+    for path, x in flat:
+        name = "/".join(str(getattr(k, "key", k)) for k in path).lower()
+        skip = (any(k in name for k in _CAST_EXCLUDE)
+                or not hasattr(x, "ndim") or x.ndim < 2
+                or x.dtype not in (jnp.float32, jnp.bfloat16))
+        if skip:
+            leaves.append(x)
+            scales.append(None)
+            continue
+        w = np.asarray(x, np.float32)
+        axes = tuple(range(w.ndim - 1))
+        s = np.abs(w).max(axis=axes, keepdims=True) / 127.0
+        s = np.maximum(s, 1e-12)
+        q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+        leaves.append(jnp.asarray(q))
+        scales.append(jnp.asarray(s, jnp.float32))
+    return leaves, scales, treedef
+
+
+def dequantize_params(leaves, scales, treedef, dtype=None):
+    """Rebuild the bf16 param tree from quantized leaves (in-graph)."""
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.bfloat16
+    out = [l if s is None
+           else (l.astype(jnp.float32) * s).astype(dtype)
+           for l, s in zip(leaves, scales)]
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 class CLIPEncoders:
@@ -79,11 +127,26 @@ class CLIPEncoders:
     all_gather, ``evaluation_ek100mir.py:249-294``)."""
 
     def __init__(self, model, params, mean=None, std=None, batch: int = 64,
-                 mesh=None):
+                 mesh=None, weight_dtype: str = "bf16"):
         from avion_tpu.data.transforms import OPENAI_MEAN, OPENAI_STD
 
         self.model = model
-        self.params = cast_inference_params(params, model)
+        self.weight_dtype = weight_dtype
+        if weight_dtype == "int8":
+            leaves, scales, treedef = quantize_inference_params(params,
+                                                                model)
+            # params handle stays the single call argument: a 2-tuple
+            # pytree of (leaves, scales); the jitted fns dequantize
+            # in-graph so HBM holds ~1 byte/weight
+            self.params = (tuple(leaves), tuple(scales))
+            self._treedef = treedef
+        elif weight_dtype in ("bf16", "f32"):
+            self.params = (params if weight_dtype == "f32"
+                           else cast_inference_params(params, model))
+            self._treedef = None
+        else:
+            raise ValueError(f"weight_dtype must be bf16|int8|f32, "
+                             f"got {weight_dtype!r}")
         self.batch = batch
         self.mesh = mesh
         if mesh is not None:
@@ -94,13 +157,22 @@ class CLIPEncoders:
         mean = mean if mean is not None else OPENAI_MEAN
         std = std if std is not None else OPENAI_STD
 
+        treedef = self._treedef
+
+        def _resolve(params):
+            if treedef is None:
+                return params
+            leaves, scales = params
+            return dequantize_params(list(leaves), list(scales), treedef,
+                                     dtype=model.dtype)
+
         def _img(params, video):
             v = normalize_video(video, mean, std, dtype=model.dtype)
-            return model.apply({"params": params}, v,
+            return model.apply({"params": _resolve(params)}, v,
                                method=model.encode_image)
 
         def _txt(params, text):
-            return model.apply({"params": params}, text,
+            return model.apply({"params": _resolve(params)}, text,
                                method=model.encode_text)
 
         # multi-host: replicate embeddings so every process can pull the
@@ -130,7 +202,12 @@ class CLIPEncoders:
             enc = cls(model, params, batch=batch, mesh=mesh)
             _ENCODER_CACHE[key] = enc
         else:
-            enc.params = cast_inference_params(params, model)
+            if enc.weight_dtype == "int8":
+                leaves, scales, _ = quantize_inference_params(params, model)
+                enc.params = (tuple(leaves), tuple(scales))
+            else:
+                enc.params = (params if enc.weight_dtype == "f32"
+                              else cast_inference_params(params, model))
         return enc
 
     def _put(self, chunk):

@@ -153,13 +153,15 @@ class ClipService:
 
     def __init__(self, model, params, *, batch: int = 32,
                  max_wait_ms: float = 2.0, clip_length: Optional[int] = None,
-                 mesh=None, media_root: Optional[str] = None):
+                 mesh=None, media_root: Optional[str] = None,
+                 weight_dtype: str = "bf16"):
         from avion_tpu.eval.runners import CLIPEncoders
 
         self.model = model
         self.media_root = media_root
         self.clip_length = clip_length or model.num_frames
-        self.encoders = CLIPEncoders(model, params, batch=batch, mesh=mesh)
+        self.encoders = CLIPEncoders(model, params, batch=batch, mesh=mesh,
+                                     weight_dtype=weight_dtype)
         self.text_batcher = MicroBatcher(self._encode_texts,
                                          max_batch=batch,
                                          max_wait_ms=max_wait_ms,
@@ -387,6 +389,9 @@ def main(argv=None):
     use_mesh = "--mesh" in argv
     if use_mesh:
         argv.remove("--mesh")
+    # --weights int8: weight-only per-channel quantized encoders
+    # (~0.4%/weight error, opt-in; bf16 is exact — docs/SERVING.md)
+    weight_dtype = _flag("--weights", "bf16")
     narrator_ckpt = _flag("--narrator-checkpoint")
     narrator_name = _flag("--narrator-model",
                           "VCLM_OPENAI_TIMESFORMER_LARGE_336PX_GPT2_XL")
@@ -415,7 +420,8 @@ def main(argv=None):
         mesh = mesh_from_config(cfg.mesh)
         print(f"serving over mesh {dict(mesh.shape)}")
     service = ClipService(model, params, batch=cfg.data.val_batch_size,
-                          mesh=mesh, media_root=media_root)
+                          mesh=mesh, media_root=media_root,
+                          weight_dtype=weight_dtype)
     narrate = None
     if narrator_ckpt:
         from avion_tpu.models import create_model as _cm

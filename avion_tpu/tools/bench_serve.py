@@ -45,6 +45,9 @@ def main(argv=None):
     ap.add_argument("--texts", type=int, default=512)
     ap.add_argument("--videos", type=int, default=64)
     ap.add_argument("--threads", type=int, default=16)
+    ap.add_argument("--weights", default="bf16",
+                    help="encoder weight storage: bf16 (exact) | int8 "
+                         "(weight-only quantized) | f32")
     args = ap.parse_args(argv)
 
     model = create_model(args.model, num_frames=args.frames,
@@ -54,7 +57,8 @@ def main(argv=None):
                         3), jnp.bfloat16)
     text0 = jnp.zeros((2, model.context_length), jnp.int32)
     params = jax.jit(model.init)(rng, video0, text0)["params"]
-    service = ClipService(model, params, batch=args.batch, max_wait_ms=3.0)
+    service = ClipService(model, params, batch=args.batch, max_wait_ms=3.0,
+                          weight_dtype=args.weights)
     server = make_server(service, port=0)
     th = serve_forever_in_thread(server)
     url = f"http://127.0.0.1:{server.server_address[1]}"

@@ -131,3 +131,29 @@ def test_profiling_helpers_smoke(tmp_path):
     assert logs and logs[0].startswith("[unit]")
     assert glob.glob(str(tmp_path) + "/**/*.pb", recursive=True) or \
         glob.glob(str(tmp_path) + "/**/*.json.gz", recursive=True)
+
+
+def test_step_timer_partial_window_accounting():
+    """mark_window(n) must be called with the ACTUAL number of steps in
+    the window (the bench loops pass n - last_marked): a 12-step run
+    marked as 5+5+2 yields 12 batch_time samples whose total equals the
+    wall time, with the partial window weighted by its true length."""
+    import time as _t
+
+    from avion_tpu.core.meters import StepTimer
+
+    timer = StepTimer()
+    t0 = _t.perf_counter()
+    marked = 0
+    for n in range(1, 13):
+        _t.sleep(0.004)
+        if n % 5 == 0 or n == 12:
+            timer.mark_window(n - marked)
+            marked = n
+    wall = _t.perf_counter() - t0
+    assert timer.batch_time.count == 12
+    total = timer.batch_time.sum
+    assert abs(total - wall) < 0.02, (total, wall)
+    # per-step time is ~uniform: the 2-step window must not be spread
+    # over 5 phantom steps (which would drop its per-step average ~2.5x)
+    assert timer.batch_time.avg > 0.003

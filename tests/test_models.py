@@ -292,3 +292,46 @@ def test_inference_param_cast_excludes_moe_router():
                     mutable=["losses", "metrics", "moe_zloss"])[0]
     np.testing.assert_array_equal(np.asarray(a["image_embed"], np.float32),
                                   np.asarray(b["image_embed"], np.float32))
+
+
+def test_int8_weight_only_encoders_close():
+    """weight_dtype='int8' (serving opt-in): quantized leaves really
+    are int8, excluded tables stay float, and embeddings remain close
+    to the exact bf16 path (per-channel symmetric quantization)."""
+    from avion_tpu.eval.runners import CLIPEncoders
+    from avion_tpu.models.clip import CLIP
+
+    model = CLIP(
+        embed_dim=32, image_size=32, patch_size=16, num_frames=2,
+        vision_width=64, vision_layers=2, vision_heads=2,
+        context_length=13, vocab_size=128, text_width=32, text_heads=2,
+        text_layers=2, use_flash=False, dtype=jnp.bfloat16,
+    )
+    rng = jax.random.PRNGKey(0)
+    video = jax.random.randint(rng, (3, 2, 32, 32, 3), 0, 255, jnp.uint8)
+    text = np.zeros((3, 13), np.int32)
+    text[:, 3] = 127
+    params = model.init(rng, jnp.asarray(video, jnp.float32),
+                        jnp.asarray(text))["params"]
+
+    exact = CLIPEncoders(model, params, batch=4)
+    q = CLIPEncoders(model, params, batch=4, weight_dtype="int8")
+    leaves, scales = q.params
+    assert any(l.dtype == jnp.int8 for l in leaves)
+    # every int8 leaf has a scale; excluded leaves have none
+    for l, s in zip(leaves, scales):
+        assert (l.dtype == jnp.int8) == (s is not None)
+
+    for name, a, b in (
+        ("img", exact.encode_images(np.asarray(video)),
+         q.encode_images(np.asarray(video))),
+        ("txt", exact.encode_texts(text), q.encode_texts(text)),
+    ):
+        cos = np.sum(a * b, -1) / (
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))
+        assert cos.min() > 0.98, (name, cos)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        CLIPEncoders(model, params, batch=4, weight_dtype="int4")
