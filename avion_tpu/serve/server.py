@@ -28,6 +28,7 @@ Start::
     python -m avion_tpu.serve model.name=CLIP_VITB16 \
         pretrain_model=<ckpt.pt|orbax_dir> --port 8080 \
         [--host 0.0.0.0 --media-root /data/videos] \
+        [--weights bf16|int8|f32] \
         [--mesh mesh.data=-1] [--narrator-checkpoint ckpt.pt]
 
 Binds loopback by default; pass ``--host 0.0.0.0`` to expose it and

@@ -363,3 +363,33 @@ def test_resolve_media_path_rejects_symlink_escape(tmp_path):
     (root / "link").symlink_to(tmp_path / "secret")
     with pytest.raises(ValueError):
         resolve_media_path("link/x.mp4", str(root))
+
+
+def test_int8_weight_service_serves_close_embeddings():
+    """ClipService(weight_dtype='int8') serves /v1/embed/text with
+    embeddings close to the exact service (weight-only PTQ bound)."""
+    from avion_tpu.models.clip import CLIP
+    from avion_tpu.serve.server import ClipService
+
+    model = CLIP(
+        embed_dim=32, image_size=32, patch_size=16, num_frames=4,
+        vision_width=64, vision_layers=2, vision_heads=2,
+        context_length=13, vocab_size=49408, text_width=32, text_heads=2,
+        text_layers=2, use_flash=False, dtype=jnp.float32,
+    )
+    rng = jax.random.PRNGKey(0)
+    video = jnp.zeros((2, 4, 32, 32, 3))
+    text = jnp.zeros((2, 13), jnp.int32)
+    params = model.init(rng, video, text)["params"]
+    exact = ClipService(model, params, batch=4, max_wait_ms=0.5)
+    quant = ClipService(model, params, batch=4, max_wait_ms=0.5,
+                        weight_dtype="int8")
+    try:
+        req = {"texts": ["a person chops vegetables"]}
+        a = np.asarray(exact.embed_text(req)["embeddings"])
+        b = np.asarray(quant.embed_text(req)["embeddings"])
+        cos = float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos > 0.98, cos
+    finally:
+        exact.close()
+        quant.close()
