@@ -21,8 +21,11 @@ Design pillars (TPU-first, not a port):
     fast-forward) feeding shared-memory loaders and device-side
     augmentation.
   - Production serving (`avion_tpu.serve`): HTTP + request
-    micro-batching over the jitted encoders; KV-cached narrator
-    generation.
+    micro-batching over the jitted encoders; bf16 (exact) or int8
+    (weight-only) weight storage; KV-cached narrator generation.
+  - head_dim-128 model geometries (`*_H128` registry variants): same
+    widths/params/FLOPs with full-lane MXU attention for from-scratch
+    training.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"

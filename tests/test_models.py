@@ -335,3 +335,26 @@ def test_int8_weight_only_encoders_close():
 
     with pytest.raises(ValueError):
         CLIPEncoders(model, params, batch=4, weight_dtype="int4")
+
+
+def test_quantize_dequantize_error_bound():
+    """Per-output-channel int8 quantization: reconstruction error is
+    bounded by half a quantization step per element."""
+    from avion_tpu.eval.runners import (dequantize_params,
+                                        quantize_inference_params)
+
+    rs = np.random.RandomState(0)
+    params = {"layer": {"kernel": rs.randn(64, 32).astype(np.float32) * 0.2,
+                        "bias": rs.randn(32).astype(np.float32)}}
+
+    class M:
+        dtype = jnp.bfloat16
+
+    leaves, scales, treedef = quantize_inference_params(params, M())
+    out = dequantize_params(leaves, scales, treedef, dtype=jnp.float32)
+    w, w2 = params["layer"]["kernel"], np.asarray(out["layer"]["kernel"])
+    step = np.abs(w).max(axis=0, keepdims=True) / 127.0
+    assert (np.abs(w - w2) <= 0.5 * step + 1e-7).all()
+    # bias (1-D) passes through untouched
+    np.testing.assert_array_equal(np.asarray(out["layer"]["bias"]),
+                                  params["layer"]["bias"])
