@@ -116,6 +116,9 @@ class ModelConfig:
     project_embed_dim: int = 512
     freeze_temperature: bool = False
     temperature_init: float = 0.07
+    # SigLIP pairwise-logit bias (set automatically when train.loss ==
+    # "siglip"; pair with temperature_init=0.1 per arXiv:2303.15343)
+    use_logit_bias: bool = False
     # classifier head (finetune_cls)
     num_classes: int = 0
     classifier_dropout: float = 0.0
@@ -194,7 +197,7 @@ class OptimConfig:
     # HBM; the lever that fits batch 256/chip)
     state_dtype: str = "float32"
     lr_scale_by_batch: Optional[int] = None  # e.g. 128/256 in finetunes
-    skip_wd_names: Tuple[str, ...] = ("bias", "scale", "pos_embed", "class_embedding", "logit_scale")
+    skip_wd_names: Tuple[str, ...] = ("bias", "scale", "pos_embed", "class_embedding", "logit_scale", "logit_bias")
 
 
 @dataclass
@@ -221,6 +224,14 @@ class TrainConfig:
     local_loss: bool = True
     gather_with_grad: bool = True
     label_smoothing: float = 0.0
+    # contrastive objective: "clip" (softmax InfoNCE, the reference
+    # loss) | "siglip" (sigmoid pairwise, arXiv:2303.15343 — beyond
+    # parity; decouples the loss from global batch size)
+    loss: str = "clip"
+    # siglip only: ring-chunked blocks over the mesh batch axes instead
+    # of XLA-partitioned dense rows (peak logit memory [b_local,
+    # b_local] vs [b_local, B_global]; the giant-global-batch lever)
+    siglip_chunked: bool = True
     # finetune-cls knobs
     mixup: float = 0.0
     cutmix: float = 0.0

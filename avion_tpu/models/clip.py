@@ -51,6 +51,11 @@ class CLIP(nn.Module):
     input_norm: str = "none"  # uint8-in-stem normalize (see vit.py)
     freeze_temperature: bool = False
     temperature_init: float = 0.07
+    # SigLIP head: learnable pairwise-logit bias (arXiv:2303.15343);
+    # pair with temperature_init=0.1 (logit_scale = ln 10) and the
+    # sigmoid loss (losses.siglip_loss / siglip_loss_chunked)
+    use_logit_bias: bool = False
+    logit_bias_init: float = -10.0
     dtype: Any = jnp.bfloat16
 
     def setup(self):
@@ -81,6 +86,12 @@ class CLIP(nn.Module):
             nn.initializers.constant(math.log(1.0 / self.temperature_init)),
             (), jnp.float32,
         )
+        if self.use_logit_bias:
+            self.logit_bias = self.param(
+                "logit_bias",
+                nn.initializers.constant(self.logit_bias_init),
+                (), jnp.float32,
+            )
 
     def encode_image(self, image, deterministic: bool = True):
         emb = self.visual(image, deterministic)
@@ -99,7 +110,10 @@ class CLIP(nn.Module):
             # gradient — the reference freezes the loaded parameter via
             # requires_grad_(False), it does not reset it
             scale = jax.lax.stop_gradient(scale)
-        return {"image_embed": img, "text_embed": txt, "logit_scale": scale}
+        out = {"image_embed": img, "text_embed": txt, "logit_scale": scale}
+        if self.use_logit_bias:
+            out["logit_bias"] = self.logit_bias
+        return out
 
 
 def _l2norm(x, eps: float = 1e-8):

@@ -58,6 +58,7 @@ def _clip_factory(
         pooling: str = "cls",
         freeze_temperature: bool = False,
         temperature_init: float = 0.07,
+        use_logit_bias: bool = False,
         dtype=None,
         **_unused,
     ):
@@ -89,6 +90,7 @@ def _clip_factory(
             input_norm=input_norm,
             freeze_temperature=freeze_temperature,
             temperature_init=temperature_init,
+            use_logit_bias=use_logit_bias,
             dtype=dtype if dtype is not None else jnp.bfloat16,
         )
 
@@ -178,6 +180,8 @@ def _clip_tiny(
     pipeline: bool = False,
     pipeline_microbatches: int = 2,
     input_norm: str = "none",
+    use_logit_bias: bool = False,
+    temperature_init: float = 0.07,
     dtype=None,
     **_unused,
 ):
@@ -195,6 +199,7 @@ def _clip_tiny(
         remat_policy=remat_policy, moe_experts=moe_experts,
         pipeline=pipeline, pipeline_microbatches=pipeline_microbatches,
         input_norm=input_norm,
+        use_logit_bias=use_logit_bias, temperature_init=temperature_init,
         dtype=dtype if dtype is not None else jnp.float32,
     )
 

@@ -63,6 +63,7 @@ def build_model_and_state(cfg: TrainConfig, niter_per_ep: int):
         input_norm=m.input_norm,
         freeze_temperature=m.freeze_temperature,
         temperature_init=m.temperature_init,
+        use_logit_bias=m.use_logit_bias,
     )
     rng = jax.random.PRNGKey(cfg.seed)
     import jax.numpy as jnp
@@ -120,6 +121,10 @@ def main(argv=None):
     load_dotenv()  # dataset-path env vars, reference .env convention
     argv = argv if argv is not None else sys.argv[1:]
     cfg = env_defaults(TrainConfig().apply_overrides(argv))
+    if cfg.loss == "siglip" and not cfg.model.use_logit_bias:
+        # the sigmoid objective needs the pairwise bias head
+        # (arXiv:2303.15343 §4: init bias -10, temperature 10)
+        cfg.model.use_logit_bias = True
     os.makedirs(cfg.output_dir, exist_ok=True)
     cfg.save(os.path.join(cfg.output_dir, "config.json"))
     # multi-host bring-up BEFORE any jax use (jax.distributed must
@@ -133,7 +138,8 @@ def main(argv=None):
         model, tx, label_smoothing=cfg.label_smoothing,
         crop_size=cfg.data.crop_size,
         moe_aux_weight=cfg.model.moe_aux_weight,
-        moe_zloss_weight=cfg.model.moe_zloss_weight)
+        moe_zloss_weight=cfg.model.moe_zloss_weight,
+        loss_type=cfg.loss, siglip_chunked=cfg.siglip_chunked)
     run = setup_run(cfg, params, tx, step_fn)
 
     rng = jax.random.PRNGKey(cfg.seed + 1)

@@ -91,7 +91,17 @@ def make_clip_train_step(
     crop_size: Optional[int] = None,
     moe_aux_weight: float = 0.01,
     moe_zloss_weight: float = 0.0,
+    loss_type: str = "clip",
+    siglip_chunked: bool = True,
 ) -> Callable:
+    """``loss_type``: "clip" (softmax InfoNCE, the reference objective)
+    or "siglip" (sigmoid pairwise, arXiv:2303.15343 — requires a model
+    built with ``use_logit_bias=True``).  ``siglip_chunked`` computes
+    the sigmoid loss blockwise around the mesh batch ring instead of as
+    XLA-partitioned dense rows (see losses.siglip_loss_chunked)."""
+    if loss_type not in ("clip", "siglip"):
+        raise ValueError(f"unknown loss_type {loss_type!r}")
+
     def step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         dropout_rng, pd_rng = jax.random.split(rng)
@@ -106,8 +116,18 @@ def make_clip_train_step(
                 rngs={"dropout": dropout_rng, "patch_dropout": pd_rng},
                 mutable=["losses", "moe_zloss", "metrics"],
             )
-            d = clip_loss(out["image_embed"], out["text_embed"],
-                          out["logit_scale"], label_smoothing)
+            if loss_type == "siglip":
+                from avion_tpu.losses.losses import (
+                    siglip_loss,
+                    siglip_loss_chunked,
+                )
+
+                sig = siglip_loss_chunked if siglip_chunked else siglip_loss
+                d = sig(out["image_embed"], out["text_embed"],
+                        out["logit_scale"], out["logit_bias"])
+            else:
+                d = clip_loss(out["image_embed"], out["text_embed"],
+                              out["logit_scale"], label_smoothing)
             d["logit_scale"] = out["logit_scale"]
             # MoE towers sow per-block router load-balance losses into
             # the "losses" collection (empty for dense models)

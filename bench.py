@@ -21,6 +21,8 @@ convention) / v5e bf16 peak (197 TFLOP/s).
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -166,7 +168,50 @@ def selfcheck():
     print("selfcheck ok: fused-qkv entry", file=sys.stderr)
 
 
+def wait_for_chip(max_wait_s=2100.0, probe_timeout_s=120.0,
+                  interval_s=150.0):
+    """Wait out a wedged TPU tunnel before touching the backend.
+
+    A failed kernel can wedge the tunneled chip for ~30 min, during
+    which backend init hangs rather than erroring.  Probe with a tiny
+    jitted matmul in a SUBPROCESS (backend init is once-per-process, so
+    the parent must not touch jax devices until a probe succeeds) and
+    retry within a bounded window.  Returns True when healthy, False
+    when the window expires (the bench then proceeds and fails loudly
+    rather than hanging forever).  Skipped on CPU backends (tests).
+    """
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        return True
+    max_wait_s = float(os.environ.get("AVION_BENCH_MAX_WAIT_S", max_wait_s))
+    probe = ("import jax, jax.numpy as jnp; "
+             "x = jnp.ones((128, 128)); "
+             "print(float((x @ x).sum()))")
+    deadline = time.monotonic() + max_wait_s
+    first = True
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               timeout=probe_timeout_s, capture_output=True)
+            if r.returncode == 0:
+                if not first:
+                    print("chip probe ok; proceeding", file=sys.stderr)
+                return True
+            detail = r.stderr.decode(errors="replace").strip()[-200:]
+        except subprocess.TimeoutExpired:
+            detail = f"probe timed out after {probe_timeout_s:.0f}s"
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            print(f"chip probe never succeeded ({detail}); proceeding "
+                  "anyway", file=sys.stderr)
+            return False
+        print(f"chip unhealthy ({detail}); retrying for up to "
+              f"{remaining:.0f}s more", file=sys.stderr)
+        first = False
+        time.sleep(min(interval_s, remaining))
+
+
 def main():
+    wait_for_chip()
     if "--selfcheck" in sys.argv:
         selfcheck()
         sys.argv.remove("--selfcheck")

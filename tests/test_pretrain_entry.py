@@ -78,6 +78,44 @@ def test_pretrain_entry_end_to_end(tiny_ego4d, tmp_path):
     main(args)
 
 
+def test_pretrain_entry_siglip(tiny_ego4d, tmp_path):
+    """config-only SigLIP: loss=siglip auto-enables the logit-bias head
+    and trains end-to-end under the chunked ring loss on the dp x fsdp
+    mesh."""
+    root, meta = tiny_ego4d
+    out = str(tmp_path / "siglip_run")
+    from avion_tpu.train.pretrain_clip import main
+
+    main([
+        "loss=siglip",
+        "model.name=CLIP_TINY",
+        "model.use_flash_attn=false",
+        "model.temperature_init=0.1",
+        f"data.root={root}",
+        f"data.train_metadata={meta}",
+        f"data.chunk_len={CHUNK}",
+        f"data.fps={FPS}",
+        "data.clip_length=2",
+        "data.crop_size=32",
+        "data.batch_size=8",
+        "data.num_workers=0",
+        "optim.epochs=1",
+        "optim.lr=1e-3",
+        "optim.warmup_epochs=0",
+        f"output_dir={out}",
+        "eval_freq=0",
+        "print_freq=1",
+        "mesh.data=4",
+        "mesh.fsdp=2",
+    ])
+    logs = [json.loads(l) for l in open(osp.join(out, "log.jsonl"))]
+    losses = [l["train/loss"] for l in logs if "train/loss" in l]
+    assert losses and all(np.isfinite(losses))
+    # the saved config records the auto-enabled bias head
+    cfg = json.load(open(osp.join(out, "config.json")))
+    assert cfg["loss"] == "siglip" and cfg["model"]["use_logit_bias"]
+
+
 def test_pretrain_entry_pipeline_parallel(tiny_ego4d, tmp_path):
     """VERDICT r2 #4: pipeline parallelism reachable from config only —
     the pretrain CLI trains on a data x pp mesh with model.pipeline=true,
