@@ -193,6 +193,18 @@ class OptimConfig:
     grad_clip_norm: Optional[float] = None
     layer_decay: Optional[float] = None
     update_freq: int = 1  # gradient accumulation (fixed vs. broken ref path)
+    # accumulation semantics when update_freq > 1:
+    #   multistep — optax.MultiSteps: effective batch = update_freq x
+    #     batch_size, but contrastive negatives stay within each
+    #     batch_size chunk (grads averaged across chunks)
+    #   cached — open_clip recipe the reference intends but ships broken
+    #     (main_lavila_pretrain.py:821-859): data.batch_size is the FULL
+    #     contrastive batch, split into update_freq microbatches; pass 1
+    #     caches embeddings, pass 2 re-encodes each microbatch with
+    #     grads spliced into the cached global batch -> EXACT global-
+    #     batch loss at 1/update_freq activation memory (costs one extra
+    #     forward).  CLIP/SigLIP pretrain only.
+    accum: str = "multistep"
     # optimizer-state precision: float32 | bfloat16 (halves Adam mu/nu
     # HBM; the lever that fits batch 256/chip)
     state_dtype: str = "float32"

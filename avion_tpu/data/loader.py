@@ -274,6 +274,7 @@ def device_prefetch(
     mesh,
     depth: int = 2,
     transform: Optional[Callable] = None,
+    batch_dim: int = 0,
 ) -> Iterator[Any]:
     """Ship host batches to the mesh ahead of consumption.
 
@@ -281,6 +282,9 @@ def device_prefetch(
     transfer of batch N+1 overlaps the TPU's compute of batch N — the
     duty-cycle mechanism the reference approximates with pinned-memory
     prefetch (``main_lavila_pretrain.py:186-191``).
+
+    ``batch_dim=1``: batches arrive microbatch-major ``[M, B/M, ...]``
+    (after ``transform``) and shard dim 1 (cached grad accumulation).
     """
     from avion_tpu.parallel.sharding import make_global_batch
 
@@ -292,7 +296,7 @@ def device_prefetch(
                 host = next(it)
                 if transform is not None:
                     host = transform(host)
-                buf.append(make_global_batch(mesh, host))
+                buf.append(make_global_batch(mesh, host, batch_dim=batch_dim))
             yield buf.popleft()
     except StopIteration:
         while buf:

@@ -168,8 +168,10 @@ def build_optimizer(
     state_dtype = getattr(cfg, "state_dtype", "float32")
     if state_dtype and state_dtype != "float32":
         tx = cast_opt_state(tx, state_dtype)
-    if cfg.update_freq > 1:
+    if cfg.update_freq > 1 and getattr(cfg, "accum", "multistep") != "cached":
         # correct gradient accumulation (the reference's accum path is
-        # broken/dead — main_lavila_pretrain.py:821-859)
+        # broken/dead — main_lavila_pretrain.py:821-859).  The "cached"
+        # mode accumulates inside the train step instead (exact global-
+        # batch contrastive loss; steps.make_clip_accum_train_step).
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.update_freq)
     return tx, schedule

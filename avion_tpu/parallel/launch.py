@@ -125,11 +125,35 @@ def setup_host(base_seed: int = 0) -> int:
     return pidx
 
 
+def _host_cpu_fingerprint() -> str:
+    """Short hash of this host's CPU feature flags.
+
+    XLA:CPU caches AOT executables specialized to the compile machine's
+    ISA extensions; when a job migrates to a host with a different
+    feature set (pool reschedule, new container host), loading those
+    artifacts SIGILL/aborts at execution (cpu_aot_loader only warns).
+    Keying the cache directory by the feature flags gives every distinct
+    host CPU its own cache instead."""
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return platform.machine() or "unknown"
+
+
 def enable_compile_cache(path: str = None) -> None:
     """Persistent XLA compilation cache: restarts (auto-resume after
     preemption, serving redeploys, repeated eval sweeps) skip the
-    20-40 s first-compile.  Default location ``~/.cache/avion_tpu_xla``;
-    override with ``AVION_COMPILE_CACHE`` (empty string disables)."""
+    20-40 s first-compile.  Default location
+    ``~/.cache/avion_tpu_xla/<cpu-fingerprint>`` (see
+    :func:`_host_cpu_fingerprint`); override the base with
+    ``AVION_COMPILE_CACHE`` (empty string disables)."""
     import os
 
     import jax
@@ -139,6 +163,7 @@ def enable_compile_cache(path: str = None) -> None:
         os.path.join(os.path.expanduser("~"), ".cache", "avion_tpu_xla"))
     if not path:
         return
+    path = os.path.join(path, _host_cpu_fingerprint())
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

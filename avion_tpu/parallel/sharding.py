@@ -109,16 +109,25 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     return jax.device_put(params, shardings)
 
 
-def make_global_batch(mesh: Mesh, host_batch: Any) -> Any:
+def make_global_batch(mesh: Mesh, host_batch: Any, batch_dim: int = 0) -> Any:
     """Assemble a globally-sharded batch from per-host numpy arrays.
 
     Replaces DistributedSampler rank slicing
     (``scripts/main_lavila_pretrain.py:557-573``): each host feeds its
     local shard; jax glues them into one global array.
+
+    ``batch_dim=1`` shards dim 1 instead — the microbatch-major
+    ``[update_freq, B_micro, ...]`` layout cached gradient accumulation
+    scans over (dim 0 stays unsharded so the scan needs no resharding).
     """
 
     def put(x):
-        sh = batch_sharding(mesh, np.ndim(x))
+        nd = np.ndim(x)
+        if batch_dim == 0 or nd <= batch_dim:
+            sh = batch_sharding(mesh, nd)
+        else:
+            sh = NamedSharding(mesh, P(*([None] * batch_dim), BATCH_AXES,
+                                       *([None] * (nd - batch_dim - 1))))
         if jax.process_count() == 1:
             return jax.device_put(x, sh)
         return jax.make_array_from_process_local_data(sh, x)

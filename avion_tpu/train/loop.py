@@ -38,6 +38,9 @@ class Run:
     # mid-epoch resume: batches of start_epoch already consumed before a
     # preemption checkpoint (wired to the loader's skip_batches)
     start_batch: int = 0
+    # 1 = microbatch-major [update_freq, B/update_freq, ...] batches with
+    # dim 1 mesh-sharded (cached gradient accumulation; optim.accum)
+    batch_dim: int = 0
 
 
 def setup_run(
@@ -69,8 +72,10 @@ def setup_run(
                   + (f", batch {start_batch}" if start_batch else "") + ")")
 
     step = jax.jit(step_fn, donate_argnums=(0,))
+    batch_dim = 1 if (cfg.optim.update_freq > 1
+                      and getattr(cfg.optim, "accum", "") == "cached") else 0
     return Run(cfg, mesh, state, tx, step, ckpt, logger, start_epoch,
-               start_batch)
+               start_batch, batch_dim)
 
 
 def train_one_epoch(
@@ -113,8 +118,27 @@ def train_one_epoch(
         run.start_batch = 0
         print(f"[resume] skipping {skipped} consumed batches")
 
+    transform = extra_batch_fn
+    if run.batch_dim == 1:
+        # cached grad accumulation: reshape host batches microbatch-major
+        # [M, B/M, ...] (after any entry transform) so dim 1 shards and
+        # the step's scan needs no resharding
+        m_acc = cfg.optim.update_freq
+
+        def transform(host, _inner=extra_batch_fn, _m=m_acc):
+            if _inner is not None:
+                host = _inner(host)
+
+            def rs(x):
+                assert x.shape[0] % _m == 0, (
+                    f"batch {x.shape[0]} not divisible by update_freq {_m}")
+                return x.reshape(_m, x.shape[0] // _m, *x.shape[1:])
+
+            return jax.tree_util.tree_map(rs, host)
+
     it = iter(device_prefetch(loader, run.mesh, depth=2,
-                              transform=extra_batch_fn))
+                              transform=transform,
+                              batch_dim=run.batch_dim))
     last_metrics: Dict[str, float] = {}
     # device-side running sums: the epoch summary averages EVERY step
     # (not the every-print_freq subsample the meters show) at zero sync

@@ -134,12 +134,25 @@ def main(argv=None):
     train_ds, train_loader = build_loaders(cfg)
     niter = max(1, len(train_loader))
     model, params, tx = build_model_and_state(cfg, niter)
-    step_fn = make_clip_train_step(
-        model, tx, label_smoothing=cfg.label_smoothing,
-        crop_size=cfg.data.crop_size,
-        moe_aux_weight=cfg.model.moe_aux_weight,
-        moe_zloss_weight=cfg.model.moe_zloss_weight,
-        loss_type=cfg.loss, siglip_chunked=cfg.siglip_chunked)
+    if cfg.optim.update_freq > 1 and cfg.optim.accum == "cached":
+        from avion_tpu.train.steps import make_clip_accum_train_step
+
+        assert cfg.data.batch_size % cfg.optim.update_freq == 0, (
+            "cached accumulation needs batch_size % update_freq == 0")
+        step_fn = make_clip_accum_train_step(
+            model, tx, cfg.optim.update_freq,
+            label_smoothing=cfg.label_smoothing,
+            crop_size=cfg.data.crop_size,
+            moe_aux_weight=cfg.model.moe_aux_weight,
+            moe_zloss_weight=cfg.model.moe_zloss_weight,
+            loss_type=cfg.loss, siglip_chunked=cfg.siglip_chunked)
+    else:
+        step_fn = make_clip_train_step(
+            model, tx, label_smoothing=cfg.label_smoothing,
+            crop_size=cfg.data.crop_size,
+            moe_aux_weight=cfg.model.moe_aux_weight,
+            moe_zloss_weight=cfg.model.moe_zloss_weight,
+            loss_type=cfg.loss, siglip_chunked=cfg.siglip_chunked)
     run = setup_run(cfg, params, tx, step_fn)
 
     rng = jax.random.PRNGKey(cfg.seed + 1)

@@ -169,6 +169,156 @@ def make_clip_train_step(
     return step
 
 
+def make_clip_accum_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    update_freq: int,
+    label_smoothing: float = 0.0,
+    crop_size: Optional[int] = None,
+    moe_aux_weight: float = 0.01,
+    moe_zloss_weight: float = 0.0,
+    loss_type: str = "clip",
+    siglip_chunked: bool = True,
+) -> Callable:
+    """Gradient accumulation with feature caching — the open_clip recipe
+    the reference intends but ships broken
+    (``scripts/main_lavila_pretrain.py:813-859`` references undefined
+    ``images/texts/args.accum_freq``), rebuilt as one jitted step.
+
+    The batch arrives microbatch-major ``[M, B/M, ...]`` (dim 1 mesh-
+    sharded; see ``make_global_batch(batch_dim=1)``).  Pass 1 scans the
+    microbatches and caches their embeddings (no grads — activations
+    die per iteration).  Pass 2 re-encodes each microbatch WITH grads,
+    splices the live rows into the cached global embedding matrix, and
+    takes the gradient of the full global-batch loss; because each row
+    is live in exactly one pass, the accumulated gradient equals the
+    exact one-shot global-batch gradient, while activation memory stays
+    at one microbatch (the loss matrix itself is tiny).  The learnable
+    scale/bias are kept live only at m=0 so their gradients are not
+    counted M times.  Costs one extra forward (~1/3 more FLOPs) — the
+    price the reference recipe also pays.
+
+    MoE note: router capacity is per-forward, so expert assignment under
+    M microbatches can differ from a single full-batch forward — the
+    contrastive gradient stays exact, the router aux term is exact for
+    the microbatched routing actually executed.
+    """
+    if loss_type not in ("clip", "siglip"):
+        raise ValueError(f"unknown loss_type {loss_type!r}")
+    M = int(update_freq)
+
+    def step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def encode(params, mb, m, mutable=()):
+            # rngs derive from (step, m) identically in both passes, so
+            # pass-2 live rows reproduce pass-1 cached rows exactly
+            d_rng, pd_rng = jax.random.split(jax.random.fold_in(rng, m))
+            video = prep_video(mb["video"], batch=mb, crop_size=crop_size,
+                               model=model)
+            return model.apply(
+                {"params": params}, video, mb["text"], False,
+                rngs={"dropout": d_rng, "patch_dropout": pd_rng},
+                mutable=list(mutable) or ["losses", "moe_zloss", "metrics"],
+            )
+
+        ms = jnp.arange(M)
+
+        # ---- pass 1: cache the global embedding matrix ----------------
+        def cache_body(_, xs):
+            m, mb = xs
+            out, _ = encode(state.params, mb, m)
+            return None, (out["image_embed"], out["text_embed"])
+
+        _, (zi, zt) = jax.lax.scan(cache_body, None, (ms, batch))
+        dim = zi.shape[-1]
+        zi = jax.lax.stop_gradient(zi.reshape(-1, dim))  # [B, D]
+        zt = jax.lax.stop_gradient(zt.reshape(-1, dim))
+        b_micro = zi.shape[0] // M
+
+        # ---- pass 2: per-microbatch grads of the global loss -----------
+        def loss_m(params, mb, m):
+            out, variables = encode(params, mb, m)
+            zi_f = jax.lax.dynamic_update_slice(
+                zi, out["image_embed"].astype(zi.dtype), (m * b_micro, 0))
+            zt_f = jax.lax.dynamic_update_slice(
+                zt, out["text_embed"].astype(zt.dtype), (m * b_micro, 0))
+            # learnable scale (and bias) live exactly once across the M
+            # passes — a direct-dependence grad per pass would be M x too
+            # large
+            live = (m == 0)
+            scale = jnp.where(live, out["logit_scale"],
+                              jax.lax.stop_gradient(out["logit_scale"]))
+            if loss_type == "siglip":
+                from avion_tpu.losses.losses import (
+                    siglip_loss,
+                    siglip_loss_chunked,
+                )
+
+                bias = jnp.where(live, out["logit_bias"],
+                                 jax.lax.stop_gradient(out["logit_bias"]))
+                sig = siglip_loss_chunked if siglip_chunked else siglip_loss
+                d = sig(zi_f, zt_f, scale, bias)
+            else:
+                d = clip_loss(zi_f, zt_f, scale, label_smoothing)
+            d["logit_scale"] = out["logit_scale"]
+            # router losses: each microbatch contributes aux_m / M to the
+            # differentiated objective so the accumulated gradient equals
+            # the dense step's (whose aux is the full-batch mean == the
+            # mean of the microbatch means); the REPORTED d["loss"] keeps
+            # the full weight so the metric mean matches the dense metric
+            obj = d["loss"]
+            aux = jax.tree_util.tree_leaves(variables.get("losses", {}))
+            if aux:
+                d["moe_aux"] = sum(jnp.asarray(a).sum() for a in aux)
+                obj = obj + moe_aux_weight * d["moe_aux"] / M
+                d["loss"] = d["loss"] + moe_aux_weight * d["moe_aux"]
+            zs = jax.tree_util.tree_leaves(variables.get("moe_zloss", {}))
+            if zs and moe_zloss_weight > 0:
+                d["moe_zloss"] = sum(z.sum() for z in zs)
+                obj = obj + moe_zloss_weight * d["moe_zloss"] / M
+                d["loss"] = d["loss"] + moe_zloss_weight * d["moe_zloss"]
+            return obj, d
+
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+        def grad_body(carry, xs):
+            gacc, macc, n = carry
+            m, mb = xs
+            (_, d), gm = jax.value_and_grad(loss_m, has_aux=True)(
+                state.params, mb, m)
+            gacc = jax.tree_util.tree_map(jnp.add, gacc, gm)
+            macc = d if macc is None else jax.tree_util.tree_map(
+                jnp.add, macc, d)
+            return (gacc, macc, n + 1), None
+
+        # first iteration outside the scan so the metric-accumulator
+        # structure is concrete; remaining M-1 microbatches scan
+        carry, _ = grad_body((zero_grads, None, 0), (ms[0],
+                             jax.tree_util.tree_map(lambda x: x[0], batch)))
+        if M > 1:
+            rest = jax.tree_util.tree_map(lambda x: x[1:], batch)
+            carry, _ = jax.lax.scan(grad_body, carry, (ms[1:], rest))
+        grads, msum, _ = carry
+        # every loss_m evaluates the SAME global-batch loss value (live
+        # rows reproduce cached rows exactly), so the mean un-does the sum
+        metrics = jax.tree_util.tree_map(lambda v: v / M, msum)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        params = _clamp_logit_scale(params)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state
+        )
+        new_state, ok = _finite_or_skip(
+            new_state, state.replace(step=state.step + 1), metrics["loss"])
+        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["step_ok"] = ok.astype(jnp.float32)
+        return new_state, metrics
+
+    return step
+
+
 def make_mir_finetune_step(model, tx, margin: float = 0.2) -> Callable:
     def step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)

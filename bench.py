@@ -40,17 +40,23 @@ def model_fwd_flops():
     return clip_fwd_flops()
 
 
-def build(batch, remat_policy="save_attn", model_name="CLIP_VITB16"):
+def build(batch, remat_policy="save_attn", model_name="CLIP_VITB16",
+          accum=1, loss_type="clip"):
     from avion_tpu.core.config import OptimConfig
     from avion_tpu.core.train_state import TrainState
     from avion_tpu.models import create_model
     from avion_tpu.optim import build_optimizer
-    from avion_tpu.train.steps import make_clip_train_step
+    from avion_tpu.train.steps import (
+        make_clip_accum_train_step,
+        make_clip_train_step,
+    )
 
     model = create_model(
         model_name, num_frames=4, use_grad_checkpointing=True,
         use_flash_attn=True, project_embed_dim=512,
         input_norm="openai", remat_policy=remat_policy,
+        use_logit_bias=(loss_type == "siglip"),
+        temperature_init=0.1 if loss_type == "siglip" else 0.07,
     )
     rng = jax.random.PRNGKey(0)
     # uint8 batches, like the real pipeline feeds (normalization runs
@@ -62,7 +68,17 @@ def build(batch, remat_policy="save_attn", model_name="CLIP_VITB16"):
                       grad_clip_norm=1.0, state_dtype="bfloat16")
     tx, _ = build_optimizer(cfg, params, niter_per_ep=1000)
     state = TrainState.create(params, tx)
-    step = jax.jit(make_clip_train_step(model, tx), donate_argnums=(0,))
+    if accum > 1:
+        # cached-feature accumulation: `batch` is the FULL contrastive
+        # batch, scanned as `accum` microbatches (exact global-batch
+        # loss at 1/accum activation memory — steps.py)
+        step = jax.jit(
+            make_clip_accum_train_step(model, tx, update_freq=accum,
+                                       loss_type=loss_type),
+            donate_argnums=(0,))
+    else:
+        step = jax.jit(make_clip_train_step(model, tx, loss_type=loss_type),
+                       donate_argnums=(0,))
     batch_data = {
         "video": jax.device_put(
             jax.random.randint(rng, (batch, 4, 224, 224, 3), 0, 256,
@@ -70,12 +86,17 @@ def build(batch, remat_policy="save_attn", model_name="CLIP_VITB16"):
         "text": jax.device_put(
             jax.random.randint(rng, (batch, 77), 0, 49408, jnp.int32)),
     }
+    if accum > 1:
+        batch_data = jax.tree_util.tree_map(
+            lambda x: x.reshape(accum, x.shape[0] // accum, *x.shape[1:]),
+            batch_data)
     return step, state, batch_data
 
 
 def bench_batch(batch, warmup=3, iters=20, remat_policy="save_attn",
-                model_name="CLIP_VITB16"):
-    step, state, data = build(batch, remat_policy, model_name)
+                model_name="CLIP_VITB16", accum=1, loss_type="clip"):
+    step, state, data = build(batch, remat_policy, model_name, accum,
+                              loss_type)
     rng = jax.random.PRNGKey(1)
     for _ in range(warmup):
         state, metrics = step(state, data, rng)
@@ -221,12 +242,31 @@ def main():
     # The default stays the reference geometry so the recorded metric
     # is apples-to-apples with the reference's architecture.
     model_name = "CLIP_VITB16"
-    if "--model" in sys.argv:
-        i = sys.argv.index("--model")
+    usage = ("usage: bench.py [--model NAME] [--batch N] [--accum M] "
+             "[--loss clip|siglip] [--selfcheck]")
+
+    def _flag(name, default, conv):
+        if name not in sys.argv:
+            return default
+        i = sys.argv.index(name)
         if i + 1 >= len(sys.argv):
-            raise SystemExit("usage: bench.py [--model NAME] [--selfcheck]")
-        model_name = sys.argv[i + 1]
+            raise SystemExit(usage)
+        return conv(sys.argv[i + 1])
+
+    model_name = _flag("--model", model_name, str)
+    # opt-in variant knobs (measurement runs, not the driver metric):
+    # --accum M scans M cached-feature microbatches (exact global-batch
+    # loss at 1/M activation memory; lets e.g. batch 512 fit one chip);
+    # --loss siglip benches the sigmoid ring objective; --batch N pins
+    # a single batch size instead of the fallback ladder
+    accum = _flag("--accum", 1, int)
+    loss_type = _flag("--loss", "clip", str)
+    only_batch = _flag("--batch", 0, int)
     tag = "vitb16" if model_name == "CLIP_VITB16" else model_name.lower()
+    if loss_type != "clip":
+        tag += f"_{loss_type}"
+    if accum > 1:
+        tag += f"_accum{accum}"
     # batch 256 (the reference-named config) runs with save_attn_k10
     # (memory-probed: k10 compiles to the same 14.34 GB temp as k9 —
     # one less recomputed layer for free; k11 needs 15.14 GB and OOMs);
@@ -236,12 +276,17 @@ def main():
     # 210.93 clips/s with save_attn vs 208.95 with k10).
     b256_policy = ("save_attn" if model_name.endswith("_H128")
                    else "save_attn_k10")
-    for batch, policy in ((256, b256_policy), (224, "save_attn"),
-                          (192, "save_attn"), (128, "save_attn"),
-                          (64, "save_attn"), (32, "save_attn")):
+    ladder = ((256, b256_policy), (224, "save_attn"),
+              (192, "save_attn"), (128, "save_attn"),
+              (64, "save_attn"), (32, "save_attn"))
+    if only_batch:
+        ladder = ((only_batch, "save_attn" if only_batch < 256 or accum > 1
+                   else b256_policy),)
+    for batch, policy in ladder:
         try:
             clips_per_sec, dt = bench_batch(batch, remat_policy=policy,
-                                            model_name=model_name)
+                                            model_name=model_name,
+                                            accum=accum, loss_type=loss_type)
             mfu = clips_per_sec * 3 * model_fwd_flops() / V5E_PEAK_FLOPS
             result = {
                 "metric": f"clips_per_sec_per_chip_{tag}_pretrain_b{batch}",

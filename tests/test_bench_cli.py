@@ -23,8 +23,9 @@ def test_bench_main_contract(capsys, monkeypatch):
 
     def fake_bench_batch(batch, warmup=3, iters=20,
                          remat_policy="save_attn",
-                         model_name="CLIP_VITB16"):
-        calls.append((batch, remat_policy, model_name))
+                         model_name="CLIP_VITB16", accum=1,
+                         loss_type="clip"):
+        calls.append((batch, remat_policy, model_name, accum, loss_type))
         return 200.0, 1.0
 
     monkeypatch.setattr(bench, "bench_batch", fake_bench_batch)
@@ -36,7 +37,7 @@ def test_bench_main_contract(capsys, monkeypatch):
     assert row["metric"] == "clips_per_sec_per_chip_vitb16_pretrain_b256"
     assert set(row) >= {"value", "unit", "vs_baseline", "mfu", "step_ms"}
     # parity geometry at b256 uses the probed k10 policy
-    assert calls[-1] == (256, "save_attn_k10", "CLIP_VITB16")
+    assert calls[-1] == (256, "save_attn_k10", "CLIP_VITB16", 1, "clip")
 
     monkeypatch.setattr(sys, "argv",
                         ["bench.py", "--model", "CLIP_VITB16_H128"])
@@ -44,7 +45,16 @@ def test_bench_main_contract(capsys, monkeypatch):
     row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "h128" in row["metric"]
     # H128 frees the lse residual: full save_attn at b256
-    assert calls[-1] == (256, "save_attn", "CLIP_VITB16_H128")
+    assert calls[-1] == (256, "save_attn", "CLIP_VITB16_H128", 1, "clip")
+
+    # variant knobs: pinned batch + cached accumulation + siglip
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--batch", "512",
+                                      "--accum", "2", "--loss", "siglip"])
+    bench.main()
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["metric"] == \
+        "clips_per_sec_per_chip_vitb16_siglip_accum2_pretrain_b512"
+    assert calls[-1] == (512, "save_attn", "CLIP_VITB16", 2, "siglip")
 
 
 def test_bench_main_usage_error(monkeypatch):

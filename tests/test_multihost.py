@@ -361,3 +361,29 @@ def test_double_preemption_checkpoints_absolute_batch(tmp_path):
     run.ckpt.wait()
     run2.ckpt.wait()
     run3.ckpt.wait()
+
+
+def test_compile_cache_keyed_by_host_cpu(tmp_path, monkeypatch):
+    """The persistent XLA cache must be per-CPU-fingerprint: AOT CPU
+    executables from a different host's ISA SIGILL/abort when executed
+    (pool reschedules land jobs on hosts with different feature sets)."""
+    import jax
+
+    from avion_tpu.parallel.launch import (_host_cpu_fingerprint,
+                                           enable_compile_cache)
+
+    fp = _host_cpu_fingerprint()
+    assert fp and "/" not in fp
+    assert fp == _host_cpu_fingerprint()  # stable within a host
+
+    base = str(tmp_path / "xla_cache")
+    monkeypatch.setenv("AVION_COMPILE_CACHE", base)
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == \
+            str(tmp_path / "xla_cache" / fp)
+        import os
+        assert os.path.isdir(jax.config.jax_compilation_cache_dir)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)

@@ -116,6 +116,45 @@ def test_pretrain_entry_siglip(tiny_ego4d, tmp_path):
     assert cfg["loss"] == "siglip" and cfg["model"]["use_logit_bias"]
 
 
+def test_pretrain_entry_cached_accum(tiny_ego4d, tmp_path):
+    """config-only cached gradient accumulation: optim.accum=cached +
+    optim.update_freq=2 trains with microbatch-major batches through the
+    loop's reshape/sharding plumbing (exact global-batch loss at half
+    the activation memory)."""
+    root, meta = tiny_ego4d
+    out = str(tmp_path / "accum_run")
+    from avion_tpu.train.pretrain_clip import main
+
+    main([
+        "optim.update_freq=2",
+        "optim.accum=cached",
+        "model.name=CLIP_TINY",
+        "model.use_flash_attn=false",
+        f"data.root={root}",
+        f"data.train_metadata={meta}",
+        f"data.chunk_len={CHUNK}",
+        f"data.fps={FPS}",
+        "data.clip_length=2",
+        "data.crop_size=32",
+        "data.batch_size=8",
+        "data.num_workers=0",
+        "optim.epochs=1",
+        "optim.lr=1e-3",
+        "optim.warmup_epochs=0",
+        f"output_dir={out}",
+        "eval_freq=0",
+        "print_freq=1",
+        # microbatches of 4 shard over data x fsdp = 4; tensor fills the
+        # remaining devices (exercises accum under tensor parallelism)
+        "mesh.data=2",
+        "mesh.fsdp=2",
+        "mesh.tensor=2",
+    ])
+    logs = [json.loads(l) for l in open(osp.join(out, "log.jsonl"))]
+    losses = [l["train/loss"] for l in logs if "train/loss" in l]
+    assert losses and all(np.isfinite(losses))
+
+
 def test_pretrain_entry_pipeline_parallel(tiny_ego4d, tmp_path):
     """VERDICT r2 #4: pipeline parallelism reachable from config only —
     the pretrain CLI trains on a data x pp mesh with model.pipeline=true,
