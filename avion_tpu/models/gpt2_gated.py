@@ -235,6 +235,8 @@ class GatedGPT2LMHead(nn.Module):
     # path; cached decode needs the sequential layout.
     pipeline: bool = False
     pipeline_microbatches: int = 8
+    # checkpoint each pipeline group (backward recomputes its blocks)
+    pipeline_remat: bool = False
 
     def setup(self):
         self.wte = self.param("wte", nn.initializers.normal(0.02),
@@ -253,7 +255,8 @@ class GatedGPT2LMHead(nn.Module):
                 cross_every=self.cross_freq, cross_position="pre",
                 act=gelu_new, cross_act=squared_relu, dtype=self.dtype,
                 use_flash=False,
-                num_microbatches=self.pipeline_microbatches, name="blocks")
+                num_microbatches=self.pipeline_microbatches,
+                remat=self.pipeline_remat, name="blocks")
         else:
             self.h = [
                 GatedGPT2Block(

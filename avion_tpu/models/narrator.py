@@ -153,6 +153,8 @@ class VCLM(nn.Module):
     # sequential layout (convert with unstack_gated_params).
     pipeline: bool = False
     pipeline_microbatches: int = 8
+    # checkpoint each pipeline group (backward recomputes its blocks)
+    pipeline_remat: bool = False
 
     def setup(self):
         self.visual = VisionTransformer(
@@ -177,7 +179,8 @@ class VCLM(nn.Module):
                 width=self.width, layers=self.layers, heads=self.heads,
                 cross_every=self.cross_every, cross_position="mid",
                 dtype=self.dtype, use_flash=self.use_flash,
-                num_microbatches=self.pipeline_microbatches, name="blocks")
+                num_microbatches=self.pipeline_microbatches,
+                remat=self.pipeline_remat, name="blocks")
         else:
             self.blocks = [
                 GatedDecoderBlock(

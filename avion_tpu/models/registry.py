@@ -144,6 +144,7 @@ def _vclm_vitb16(
     dtype=None,
     pipeline: bool = False,
     pipeline_microbatches: int = 8,
+    pipeline_remat: bool = False,
     vision_heads: int = 12,
     heads: int = 8,
     **_unused,
@@ -165,6 +166,7 @@ def _vclm_vitb16(
         vision_heads=vision_heads, use_flash=use_flash_attn,
         dtype=dtype if dtype is not None else jnp.bfloat16,
         pipeline=pipeline, pipeline_microbatches=pipeline_microbatches,
+        pipeline_remat=pipeline_remat,
     )
 
 

@@ -164,6 +164,7 @@ class VisionTransformer(nn.Module):
                 mlp_ratio=self.mlp_ratio, act=self.act, dtype=self.dtype,
                 use_flash=self.use_flash,
                 num_microbatches=self.pipeline_microbatches,
+                remat=self.remat,
                 name="transformer",
             )(x, deterministic)
         else:

@@ -27,6 +27,7 @@ from typing import Any, Callable, Dict, Optional
 
 import flax.linen as nn
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
@@ -70,6 +71,10 @@ def block_forward(p: Dict[str, jax.Array], x: jax.Array, *, heads: int,
     qkv = y @ p["qkv_kernel"].astype(dtype) + p["qkv_bias"].astype(dtype)
     o = attention_packed(qkv[..., :w], qkv[..., w:2 * w], qkv[..., 2 * w:],
                          heads, causal=causal, use_flash=use_flash)
+    # named for the pipeline's save_attn remat (same policy as the
+    # sequential tower): the rematerialized backward keeps the attention
+    # output instead of re-running the kernel
+    o = jax.ad_checkpoint.checkpoint_name(o, "attn_out")
     x = x + (o @ p["out_kernel"].astype(dtype) + p["out_bias"].astype(dtype))
     y = _layernorm(x, p["ln2_scale"], p["ln2_bias"]).astype(dtype)
     h = act(y @ p["fc1_kernel"].astype(dtype) + p["fc1_bias"].astype(dtype))
@@ -77,12 +82,21 @@ def block_forward(p: Dict[str, jax.Array], x: jax.Array, *, heads: int,
                 + p["fc2_bias"].astype(dtype))
 
 
-def _stage_forward(stage_params, x, **blk_kw):
-    """Apply this stage's ``layers/pp`` stacked blocks sequentially."""
+def _stage_forward(stage_params, x, *, remat=False, **blk_kw):
+    """Apply this stage's ``layers/pp`` stacked blocks sequentially.
+
+    ``remat=True`` checkpoints each block with the sequential tower's
+    ``save_attn`` policy: the backward keeps only block inputs plus the
+    named attention outputs and recomputes the rest."""
 
     def body(h, p):
         return block_forward(p, h, **blk_kw), None
 
+    if remat:
+        body = jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "attn_out", "attn_lse"))
     x, _ = jax.lax.scan(body, x, stage_params)
     return x
 
@@ -90,19 +104,26 @@ def _stage_forward(stage_params, x, **blk_kw):
 def gpipe(stacked_params, x, *, heads: int, num_microbatches: int,
           axis_name: str = PP_AXIS, act: Callable = nn.gelu,
           dtype: Any = jnp.bfloat16, use_flash: bool = True,
-          causal: bool = False, mesh=None) -> jax.Array:
+          causal: bool = False, mesh=None, remat: bool = False) -> jax.Array:
     """Run the stacked-block transformer pipelined over ``axis_name``.
 
     ``stacked_params`` leaves have leading dim = total layers; the
     shard_map shards that dim over the pipeline axis so each stage sees
     its own slice. ``x`` is [B, S, W]; the batch splits into
     ``num_microbatches`` equal microbatches.
+
+    ``remat=True`` checkpoints each stage forward: the backward pipeline
+    stores one [B/M, S, W] stage input per tick instead of every block
+    intermediate — the lever that fits towers big enough to NEED a
+    pipeline (GPipe's own per-microbatch recompute strategy).
     """
     m = num_microbatches
     b = x.shape[0]
     assert b % m == 0, (b, m)
     blk_kw = dict(heads=heads, act=act, dtype=dtype, use_flash=use_flash,
                   causal=causal)
+    if remat:
+        blk_kw["remat"] = True
 
     shape_src = mesh
     if shape_src is None:  # ambient mesh (jax.set_mesh) carries the axes
@@ -180,6 +201,10 @@ class PipelinedTransformer(nn.Module):
     num_microbatches: int = 4
     axis_name: str = PP_AXIS
     mesh: Optional[Any] = None
+    # checkpoint each stage's blocks (save_attn policy): backward stores
+    # block inputs + attention outputs per tick instead of every
+    # intermediate — the memory lever for towers that need a pipeline
+    remat: bool = False
 
     def _leaf_shape(self, name: str) -> tuple:
         w, hid = self.width, int(self.width * self.mlp_ratio)
@@ -210,7 +235,7 @@ class PipelinedTransformer(nn.Module):
                      num_microbatches=self.num_microbatches,
                      axis_name=self.axis_name, act=self.act,
                      dtype=self.dtype, use_flash=self.use_flash,
-                     causal=self.causal, mesh=self.mesh)
+                     causal=self.causal, mesh=self.mesh, remat=self.remat)
 
 
 def _get(tree, path):

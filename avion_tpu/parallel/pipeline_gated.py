@@ -244,17 +244,22 @@ def make_group_forward(*, heads: int, cross_position: str = "mid",
 # ---------------------------------------------------------------------------
 
 
-def _stage_forward(params, h, enc, group_forward):
+def _stage_forward(params, h, enc, group_forward, remat=False):
     def body(carry, gp):
         return group_forward(gp, carry, enc), None
 
+    if remat:
+        # per-group checkpointing: the backward stores one group input
+        # per scan step and recomputes the group's blocks (the memory
+        # lever for GPT-2-XL-scale decoders — the pipeline's target)
+        body = jax.checkpoint(body)
     h, _ = jax.lax.scan(body, h, params)
     return h
 
 
 def gpipe_grouped(stacked, x, enc, *, group_forward: Callable,
                   num_microbatches: int, axis_name: str = PP_AXIS,
-                  mesh=None) -> jax.Array:
+                  mesh=None, remat: bool = False) -> jax.Array:
     """Pipeline ``x`` [B, S, W] through group-stacked decoder params.
 
     Every leaf of ``stacked`` has leading dim ``G`` (groups); the
@@ -273,7 +278,7 @@ def gpipe_grouped(stacked, x, enc, *, group_forward: Callable,
         am = jax.sharding.get_abstract_mesh()
         shape_src = None if am.empty else am
     if shape_src is None or shape_src.shape.get(axis_name, 1) == 1:
-        return _stage_forward(stacked, x, enc, group_forward)
+        return _stage_forward(stacked, x, enc, group_forward, remat)
 
     pp_size = shape_src.shape[axis_name]
     g = next(iter(jax.tree.leaves(stacked))).shape[0]
@@ -296,7 +301,7 @@ def gpipe_grouped(stacked, x, enc, *, group_forward: Callable,
             # guard masks out
             inp = jnp.where(i == 0, mbs[jnp.clip(t, 0, m - 1)], state)
             enc_t = enc_mbs[jnp.clip(t - i, 0, m - 1)]
-            y = _stage_forward(params, inp, enc_t, group_forward)
+            y = _stage_forward(params, inp, enc_t, group_forward, remat)
             mi = t - (pp - 1)
             emit = jnp.logical_and(i == pp - 1, mi >= 0)
             out = jnp.where(emit, out.at[jnp.clip(mi, 0, m - 1)].set(y), out)
@@ -349,6 +354,9 @@ class PipelinedGatedDecoder(nn.Module):
     num_microbatches: int = 8
     axis_name: str = PP_AXIS
     mesh: Optional[Any] = None
+    # checkpoint each group in the stage scan (backward recomputes the
+    # group's blocks from its input) — see pipeline.gpipe remat
+    remat: bool = False
 
     def _shapes(self) -> Dict[str, tuple]:
         assert self.layers % self.cross_every == 0, (
@@ -395,7 +403,8 @@ class PipelinedGatedDecoder(nn.Module):
             cross_act=self.cross_act)
         return gpipe_grouped(params, x, enc, group_forward=fwd,
                              num_microbatches=self.num_microbatches,
-                             axis_name=self.axis_name, mesh=self.mesh)
+                             axis_name=self.axis_name, mesh=self.mesh,
+                             remat=self.remat)
 
 
 def _get(tree, path):

@@ -82,6 +82,9 @@ def main(argv=None):
         use_flash_attn=cfg.model.use_flash_attn,
         pipeline=cfg.model.pipeline,
         pipeline_microbatches=cfg.model.pipeline_microbatches,
+        # the pipelined decoder remats per group under the same knob the
+        # sequential towers use for per-block checkpointing
+        pipeline_remat=cfg.model.use_grad_checkpointing,
         # H128 speed geometry for from-scratch narrators:
         # model.vision_heads=6 model.text_heads=4 (docs/PERF.md)
         vision_heads=cfg.model.vision_heads,

@@ -276,3 +276,33 @@ def test_pp_must_divide_groups():
     with jax.set_mesh(mesh):
         with pytest.raises(AssertionError, match="group boundaries"):
             pipe.apply({"params": params}, tokens, enc)
+
+
+def test_vclm_pipeline_remat_matches_exact():
+    """pipeline_remat=True (per-group checkpointing in each stage scan)
+    changes memory, not math: fwd + grads match the non-remat pipeline."""
+    video, tokens = _data()
+    _, pipe = _models()
+    remat = VCLM(pipeline=True, pipeline_microbatches=2,
+                 pipeline_remat=True, **VCLM_KW)
+    params = pipe.init(jax.random.PRNGKey(0), video, tokens)["params"]
+
+    def loss(model):
+        def f(p):
+            return caption_loss(model.apply({"params": p}, video, tokens),
+                                tokens)
+        return f
+
+    mesh = make_mesh(data=4, pp=2)
+    with jax.set_mesh(mesh):
+        l0, g0 = jax.jit(jax.value_and_grad(loss(pipe)))(params)
+        l1, g1 = jax.jit(jax.value_and_grad(loss(remat)))(params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = dict(
+        ("/".join(str(getattr(k, "key", k)) for k in path), leaf)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(g1))
+    for path, leaf in flat0:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        np.testing.assert_allclose(np.asarray(flat1[name]), np.asarray(leaf),
+                                   atol=1e-5, rtol=1e-5, err_msg=name)

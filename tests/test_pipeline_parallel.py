@@ -131,3 +131,30 @@ def test_pipeline_causal_stack():
     out = jax.jit(lambda p, x: pipe.apply({"params": p}, x))(stacked, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_pipeline_remat_matches_exact():
+    """remat=True (per-block save_attn checkpointing inside each stage)
+    is a memory knob, not a math change: forward and gradients must
+    match the non-remat pipeline bit-for-bit-ish."""
+    mesh = make_mesh(data=2, pp=4)
+    seq = _seq_model()
+    x = _data()
+    seq_params = seq.init(jax.random.PRNGKey(0), x)["params"]
+    stacked = stack_block_params(seq_params, LAYERS)
+
+    def loss(pipe):
+        def f(p, x):
+            return jnp.sum(pipe.apply({"params": p}, x) ** 2)
+        return f
+
+    plain = _pipe_model(mesh)
+    remat = PipelinedTransformer(width=WIDTH, layers=LAYERS, heads=HEADS,
+                                 use_flash=False, dtype=jnp.float32,
+                                 num_microbatches=2, mesh=mesh, remat=True)
+    l0, g0 = jax.jit(jax.value_and_grad(loss(plain)))(stacked, x)
+    l1, g1 = jax.jit(jax.value_and_grad(loss(remat)))(stacked, x)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for k in g0:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g0[k]),
+                                   atol=1e-5, rtol=1e-5, err_msg=k)
