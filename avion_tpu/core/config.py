@@ -56,6 +56,11 @@ class MeshConfig:
     sp: int = 1  # sequence parallelism (ring attention over tokens)
     ep: int = 1  # expert parallelism (MoE expert sharding)
     tensor: int = 1
+    # multi-slice pods: number of TPU slices, laid out as the OUTER
+    # blocks of the data axis so only the gradient all-reduce's
+    # inter-slice hop crosses DCN; every model-axis collective stays on
+    # intra-slice ICI (parallel/mesh.py:make_mesh).  Must divide data.
+    dcn_data: int = 1
 
     def axis_sizes(self, n_devices: int) -> Tuple[int, int, int]:
         d, f, t = self.data, self.fsdp, self.tensor

@@ -6,6 +6,7 @@ from avion_tpu.parallel.mesh import (
     TENSOR_AXIS,
     BATCH_AXES,
     make_mesh,
+    group_devices_by_slice,
     local_batch_slice,
 )
 from avion_tpu.parallel.sharding import (
