@@ -141,6 +141,11 @@ class DataConfig:
     root: str = ""
     root_val: str = ""
     train_metadata: str = ""
+    # comma-separated auxiliary train pkls concatenated into the train
+    # set — how the reference mixes LaViLa pseudo-narrations with the
+    # ground-truth captions for its augmented headline runs
+    # (``--train-metadata-aux``, main_lavila_pretrain.py:470-495)
+    train_metadata_aux: str = ""
     val_metadata: str = ""
     relevancy_path: str = ""
     label_map: str = ""
@@ -174,6 +179,12 @@ class DataConfig:
     num_workers: int = 8
     prefetch_depth: int = 2
     repeated_aug: int = 1
+    # classification-train augmentation (videomae_finetune /
+    # finetune_cls): host RandAugment + cube-mode random erasing
+    # (reference ``--aa rand-m7-n4-mstd0.5-inc1`` default pipeline and
+    # ``--reprob``, classification_dataset.py:72-90)
+    rand_aug: bool = True
+    erase_prob: float = 0.25
     # masking (videomae)
     mask_type: str = "tube"
     mask_ratio: float = 0.9
@@ -189,11 +200,19 @@ class OptimConfig:
     lr: float = 4e-5
     lr_start: float = 1e-6
     lr_end: float = 1e-5
+    # constant LR at ``lr`` from step 0 (no warmup/decay) — the
+    # reference's ``--fix-lr`` sets lr_schedule=None
+    # (main_videomae_pretrain.py:246, main_lavila_pretrain.py:671)
+    fix_lr: bool = False
     warmup_epochs: float = 1.0
     epochs: int = 5
     betas: Tuple[float, float] = (0.9, 0.999)
     eps: float = 1e-8
     wd: float = 0.05
+    # cosine weight-decay schedule wd -> wd_end over training (the
+    # reference's ``--wd-end``, main_videomae_finetune.py:399-401,
+    # applied per-iteration at :493-494); None = constant wd
+    wd_end: Optional[float] = None
     momentum: float = 0.9
     grad_clip_norm: Optional[float] = None
     layer_decay: Optional[float] = None

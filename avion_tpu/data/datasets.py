@@ -439,3 +439,26 @@ def collate(items: Sequence[Any]) -> Dict[str, np.ndarray]:
         vals = [it[key] for it in items]
         out[key] = np.stack(vals) if isinstance(vals[0], np.ndarray) else np.asarray(vals)
     return out
+
+
+class ConcatDataset:
+    """Concatenation of map-style datasets (``torch.utils.data.
+    ConcatDataset`` semantics — the reference mixes the ground-truth
+    train pkl with auxiliary pseudo-narration pkls this way,
+    ``main_lavila_pretrain.py:470-495``).  Picklable as long as the
+    member datasets are."""
+
+    def __init__(self, datasets: Sequence[Any]):
+        assert len(datasets) > 0, "ConcatDataset needs at least one dataset"
+        self.datasets = list(datasets)
+        self.offsets = np.cumsum([len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self.offsets[-1])
+
+    def __getitem__(self, i: int):
+        if i < 0:
+            i += len(self)
+        k = int(np.searchsorted(self.offsets, i, side="right"))
+        lo = 0 if k == 0 else int(self.offsets[k - 1])
+        return self.datasets[k][i - lo]

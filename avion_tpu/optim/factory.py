@@ -121,6 +121,33 @@ def cast_opt_state(tx: optax.GradientTransformation,
     return optax.GradientTransformation(init, update)
 
 
+def add_scheduled_decayed_weights(
+    wd_schedule: Callable, mask: Any
+) -> optax.GradientTransformation:
+    """``optax.add_decayed_weights`` with a per-step decay schedule —
+    the reference's cosine weight-decay ramp (``--wd-end``,
+    ``main_videomae_finetune.py:399-401,493-494``: param_group
+    weight_decay reassigned from ``wd_schedule[it]`` every iteration).
+    Placed where add_decayed_weights sits in the optax chains (after the
+    second-moment rescale, before the LR scale), so the applied update
+    matches torch AdamW's ``p -= lr * (update + wd * p)``."""
+
+    def init_fn(params):
+        del params
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("scheduled weight decay needs params")
+        wd = wd_schedule(state.count)
+        updates = jax.tree_util.tree_map(
+            lambda u, p, m: u + wd * p if m else u, updates, params, mask,
+        )
+        return updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def build_optimizer(
     cfg,
     params,
@@ -130,28 +157,56 @@ def build_optimizer(
     """Build the optax chain from an OptimConfig. Returns (tx, lr_schedule)."""
     from avion_tpu.optim.schedules import cosine_schedule
 
-    schedule = cosine_schedule(
-        cfg.lr, cfg.lr_end, cfg.epochs, niter_per_ep, cfg.warmup_epochs,
-        cfg.lr_start,
-    )
+    if getattr(cfg, "fix_lr", False):
+        # constant LR from step 0 (reference --fix-lr: lr_schedule=None,
+        # optimizer keeps its initial args.lr)
+        schedule = lambda step: cfg.lr  # noqa: E731
+    else:
+        schedule = cosine_schedule(
+            cfg.lr, cfg.lr_end, cfg.epochs, niter_per_ep, cfg.warmup_epochs,
+            cfg.lr_start,
+        )
     mask = wd_mask(params)
+    wd_end = getattr(cfg, "wd_end", None)
+    wd_schedule = None
+    if wd_end is not None and wd_end != cfg.wd:
+        # cosine wd -> wd_end over the whole run, no warmup
+        # (main_videomae_finetune.py:401)
+        wd_schedule = cosine_schedule(cfg.wd, wd_end, cfg.epochs, niter_per_ep)
 
     name = cfg.optimizer.lower()
     if name == "adamw":
-        core = optax.adamw(
-            schedule, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
-            weight_decay=cfg.wd, mask=mask,
-        )
+        if wd_schedule is not None:
+            core = optax.chain(
+                optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1],
+                                    eps=cfg.eps),
+                add_scheduled_decayed_weights(wd_schedule, mask),
+                optax.scale_by_learning_rate(schedule),
+            )
+        else:
+            core = optax.adamw(
+                schedule, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
+                weight_decay=cfg.wd, mask=mask,
+            )
     elif name == "sgd":
         core = optax.chain(
-            optax.add_decayed_weights(cfg.wd, mask=mask),
+            add_scheduled_decayed_weights(wd_schedule, mask)
+            if wd_schedule is not None
+            else optax.add_decayed_weights(cfg.wd, mask=mask),
             optax.sgd(schedule, momentum=cfg.momentum),
         )
     elif name == "lion":
-        core = optax.lion(
-            schedule, b1=cfg.betas[0], b2=cfg.betas[1],
-            weight_decay=cfg.wd, mask=mask,
-        )
+        if wd_schedule is not None:
+            core = optax.chain(
+                optax.scale_by_lion(b1=cfg.betas[0], b2=cfg.betas[1]),
+                add_scheduled_decayed_weights(wd_schedule, mask),
+                optax.scale_by_learning_rate(schedule),
+            )
+        else:
+            core = optax.lion(
+                schedule, b1=cfg.betas[0], b2=cfg.betas[1],
+                weight_decay=cfg.wd, mask=mask,
+            )
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 

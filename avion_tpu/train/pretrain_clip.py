@@ -93,20 +93,36 @@ def build_model_and_state(cfg: TrainConfig, niter_per_ep: int):
 
 def build_loaders(cfg: TrainConfig):
     d = cfg.data
-    train_ds = VideoCaptionDataset(
-        d.dataset, d.root, d.train_metadata,
-        is_training=True, clip_length=d.clip_length, chunk_len=d.chunk_len,
-        fps=d.fps, threads=d.decode_threads, decode_fast=d.decode_fast,
-        augment=AugmentSpec(
-            crop_size=d.crop_size,
-            # fused_decode_crop=False moves the crop/resize/flip work to
-            # the TPU (ops/fused_input); the host then only decodes
-            mode="rrc" if d.fused_decode_crop else "device_rrc",
-            decode_size=d.decode_size, scale_min=d.scale_min,
-            scale_max=d.scale_max, hflip_prob=d.hflip_prob,
-            vflip_prob=d.vflip_prob,
-        ),
+    augment = AugmentSpec(
+        crop_size=d.crop_size,
+        # fused_decode_crop=False moves the crop/resize/flip work to
+        # the TPU (ops/fused_input); the host then only decodes
+        mode="rrc" if d.fused_decode_crop else "device_rrc",
+        decode_size=d.decode_size, scale_min=d.scale_min,
+        scale_max=d.scale_max, hflip_prob=d.hflip_prob,
+        vflip_prob=d.vflip_prob,
     )
+
+    def make_ds(meta):
+        return VideoCaptionDataset(
+            d.dataset, d.root, meta,
+            is_training=True, clip_length=d.clip_length,
+            chunk_len=d.chunk_len, fps=d.fps, threads=d.decode_threads,
+            decode_fast=d.decode_fast, augment=augment,
+        )
+
+    train_ds = make_ds(d.train_metadata)
+    if d.train_metadata_aux:
+        # auxiliary pseudo-narration pkls concatenated into the train
+        # set (main_lavila_pretrain.py:470-495)
+        from avion_tpu.data.datasets import ConcatDataset
+
+        paths = [p.strip() for p in d.train_metadata_aux.split(",")
+                 if p.strip()]
+        aux = [make_ds(p) for p in paths]
+        for i, (p, ds) in enumerate(zip(paths, aux)):
+            print(f"auxiliary dataset [{i}]: source={p} len={len(ds)}")
+        train_ds = ConcatDataset([train_ds] + aux)
     train_loader = DataLoader(
         train_ds, d.batch_size, shuffle=True, drop_last=True,
         num_workers=d.num_workers, prefetch_depth=d.prefetch_depth,

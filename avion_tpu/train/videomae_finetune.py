@@ -99,6 +99,7 @@ def main(argv=None):
         clip_length=d.clip_length, clip_stride=d.clip_stride,
         threads=d.decode_threads, num_sample=d.repeated_aug,
         decode_fast=d.decode_fast,
+        use_randaug=d.rand_aug, erase_prob=d.erase_prob,
         augment=AugmentSpec(crop_size=d.crop_size, mode="rrc",
                             scale_min=d.scale_min, scale_max=d.scale_max,
                             hflip_prob=0.5),
@@ -160,7 +161,7 @@ def validate(cfg: TrainConfig, model, run):
     val_ds = VideoClassyDataset(
         "kinetics", d.root_val or d.root, d.val_metadata, is_training=False,
         clip_length=d.clip_length, clip_stride=d.clip_stride,
-        num_clips=d.num_clips,
+        num_clips=d.num_clips, num_crops=d.num_crops,
         augment=AugmentSpec(crop_size=d.crop_size, mode="center"),
     )
     loader = DataLoader(val_ds, d.val_batch_size, shuffle=False,

@@ -262,3 +262,69 @@ def test_pretrain_entry_input_norm_config(tiny_ego4d, tmp_path):
     cfg = TrainConfig().apply_overrides(args)
     model, *_ = build_model_and_state(cfg, niter_per_ep=1)
     assert model.input_norm == "openai"
+
+
+class _FixedDataset:
+    """Module-level so ConcatDataset pickling works in the test."""
+
+    def __init__(self, vals):
+        self.vals = vals
+
+    def __len__(self):
+        return len(self.vals)
+
+    def __getitem__(self, i):
+        return self.vals[i]
+
+
+def test_concat_dataset_dispatch():
+    """ConcatDataset: torch ConcatDataset semantics
+    (main_lavila_pretrain.py:470-495 aux-metadata mixing)."""
+    from avion_tpu.data.datasets import ConcatDataset
+
+    ds = ConcatDataset([_FixedDataset([0, 1, 2]), _FixedDataset([10]),
+                        _FixedDataset([20, 21])])
+    assert len(ds) == 6
+    assert [ds[i] for i in range(6)] == [0, 1, 2, 10, 20, 21]
+    assert ds[-1] == 21
+    # picklable for loader workers
+    import pickle as pkl
+
+    ds2 = pkl.loads(pkl.dumps(ds))
+    assert [ds2[i] for i in range(6)] == [0, 1, 2, 10, 20, 21]
+
+
+def test_pretrain_entry_aux_metadata(tiny_ego4d, tmp_path, capsys):
+    """data.train_metadata_aux concatenates pseudo-narration pkls into
+    the train set (--train-metadata-aux, main_lavila_pretrain.py:470)."""
+    root, meta = tiny_ego4d
+    # aux pkl: same clips, different captions (pseudo-narrations)
+    aux_samples = [(f"vid{v}", 0.3, 3.5, f"pseudo narration {v}")
+                   for v in range(8)]
+    aux_meta = str(tmp_path / "aux.pkl")
+    with open(aux_meta, "wb") as f:
+        pickle.dump(aux_samples, f)
+    out = str(tmp_path / "run")
+    from avion_tpu.train.pretrain_clip import main
+
+    main([
+        "model.name=CLIP_TINY",
+        "model.use_flash_attn=false",
+        f"data.root={root}",
+        f"data.train_metadata={meta}",
+        f"data.train_metadata_aux={aux_meta}",
+        f"data.chunk_len={CHUNK}",
+        f"data.fps={FPS}",
+        "data.clip_length=2",
+        "data.crop_size=32",
+        "data.batch_size=16",  # > len(main ds): only works if concat'd
+        "data.num_workers=0",
+        "optim.epochs=1",
+        "optim.warmup_epochs=0",
+        f"output_dir={out}",
+        "eval_freq=0",
+        "print_freq=1",
+    ])
+    assert "auxiliary dataset [0]" in capsys.readouterr().out
+    logs = [json.loads(l) for l in open(osp.join(out, "log.jsonl"))]
+    assert any("train/loss" in l for l in logs)
