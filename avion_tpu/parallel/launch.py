@@ -147,17 +147,42 @@ def _host_cpu_fingerprint() -> str:
     return platform.machine() or "unknown"
 
 
+def _cpu_backend_selected() -> bool:
+    """True when jax is explicitly pinned to the CPU backend (via the
+    ``JAX_PLATFORMS`` env var or ``jax.config``) — the virtual-mesh
+    test/dryrun configuration."""
+    import os
+
+    import jax
+
+    sel = os.environ.get("JAX_PLATFORMS", "")
+    if not sel:
+        try:
+            sel = jax.config.jax_platforms or ""
+        except Exception:
+            sel = ""
+    return sel.split(",")[0].strip().lower() == "cpu"
+
+
 def enable_compile_cache(path: str = None) -> None:
     """Persistent XLA compilation cache: restarts (auto-resume after
     preemption, serving redeploys, repeated eval sweeps) skip the
     20-40 s first-compile.  Default location
     ``~/.cache/avion_tpu_xla/<cpu-fingerprint>`` (see
     :func:`_host_cpu_fingerprint`); override the base with
-    ``AVION_COMPILE_CACHE`` (empty string disables)."""
+    ``AVION_COMPILE_CACHE`` (empty string disables).
+
+    Never enabled for the CPU backend: XLA:CPU AOT deserialization is
+    brittle — an executable persisted by one process can SIGABRT the
+    next process that reloads it (reproduced with shard_map + donation
+    programs on the forced-host-device mesh), and CPU compiles are not
+    the 20-40 s the cache exists to save anyway."""
     import os
 
     import jax
 
+    if _cpu_backend_selected():
+        return
     path = path if path is not None else os.environ.get(
         "AVION_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "avion_tpu_xla"))

@@ -378,6 +378,8 @@ def test_compile_cache_keyed_by_host_cpu(tmp_path, monkeypatch):
 
     base = str(tmp_path / "xla_cache")
     monkeypatch.setenv("AVION_COMPILE_CACHE", base)
+    # pretend we're on the TPU backend (the test env pins cpu)
+    monkeypatch.setenv("JAX_PLATFORMS", "tpu")
     old = jax.config.jax_compilation_cache_dir
     try:
         enable_compile_cache()
@@ -387,3 +389,32 @@ def test_compile_cache_keyed_by_host_cpu(tmp_path, monkeypatch):
         assert os.path.isdir(jax.config.jax_compilation_cache_dir)
     finally:
         jax.config.update("jax_compilation_cache_dir", old)
+
+
+def test_compile_cache_disabled_on_cpu_backend(tmp_path, monkeypatch):
+    """Regression: the persistent cache must NOT enable on the CPU
+    backend — XLA:CPU AOT deserialization is brittle (an executable
+    persisted by one process SIGABRTed the next process that reloaded
+    it: shard_map+donation programs on the 8-device virtual mesh), and
+    the entry tests were poisoning the cache the later grad-accum tests
+    then crashed on."""
+    import jax
+
+    from avion_tpu.parallel.launch import (_cpu_backend_selected,
+                                           enable_compile_cache)
+
+    # the pytest env pins JAX_PLATFORMS=cpu (conftest)
+    assert _cpu_backend_selected()
+    monkeypatch.setenv("AVION_COMPILE_CACHE", str(tmp_path / "xla_cache"))
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == old  # untouched
+        import os
+
+        assert not os.path.isdir(str(tmp_path / "xla_cache"))
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
+
+    monkeypatch.setenv("JAX_PLATFORMS", "tpu,cpu")
+    assert not _cpu_backend_selected()  # first platform wins
