@@ -236,12 +236,15 @@ def main():
     if "--selfcheck" in sys.argv:
         selfcheck()
         sys.argv.remove("--selfcheck")
-    # --model CLIP_VITB16_H128 benches the TPU speed variant (6 heads
-    # of dim 128; full-lane QK^T): 208.95 clips/s/chip, 51.9% MFU at
-    # b256 measured on v5e — vs 184.2 for the 12-head parity geometry.
-    # The default stays the reference geometry so the recorded metric
-    # is apples-to-apples with the reference's architecture.
-    model_name = "CLIP_VITB16"
+    # The default benches CLIP_VITB16_H128, the flagship TPU geometry
+    # (6 heads of dim 128 — same width/params/FLOPs as the reference's
+    # 12x64 ViT-B, but every attention matmul contracts over the MXU's
+    # full 128 lanes; the projection-level head packing that breaks the
+    # depth-64 attention floor, docs/PERF.md).  The reference's 12-head
+    # parity geometry (required for released-weight import) is measured
+    # too and embedded in the same JSON line as parity_* fields so the
+    # apples-to-apples comparison stays on record.
+    model_name = "CLIP_VITB16_H128"
     usage = ("usage: bench.py [--model NAME] [--batch N] [--accum M] "
              "[--loss clip|siglip] [--selfcheck]")
 
@@ -253,6 +256,7 @@ def main():
             raise SystemExit(usage)
         return conv(sys.argv[i + 1])
 
+    explicit_model = "--model" in sys.argv
     model_name = _flag("--model", model_name, str)
     # opt-in variant knobs (measurement runs, not the driver metric):
     # --accum M scans M cached-feature microbatches (exact global-batch
@@ -282,35 +286,55 @@ def main():
     if only_batch:
         ladder = ((only_batch, "save_attn" if only_batch < 256 or accum > 1
                    else b256_policy),)
-    for batch, policy in ladder:
+    def run_ladder(ladder, model_name, tag):
+        for batch, policy in ladder:
+            try:
+                clips_per_sec, dt = bench_batch(
+                    batch, remat_policy=policy, model_name=model_name,
+                    accum=accum, loss_type=loss_type)
+                mfu = clips_per_sec * 3 * model_fwd_flops() / V5E_PEAK_FLOPS
+                return {
+                    "metric":
+                        f"clips_per_sec_per_chip_{tag}_pretrain_b{batch}",
+                    "value": round(clips_per_sec, 2),
+                    "unit": "clips/s/chip",
+                    "vs_baseline": round(
+                        clips_per_sec / BASELINE_CLIPS_PER_SEC_PER_GPU, 3),
+                    "mfu": round(mfu, 4),
+                    "step_ms": round(dt * 1e3, 1),
+                }
+            except Exception as e:  # OOM at this batch: halve and retry
+                msg = str(e).lower()
+                if any(t in msg for t in ("resource_exhausted",
+                                          "out of memory", "hbm", "compile")):
+                    print(f"batch {batch} failed ({type(e).__name__}), "
+                          "retrying smaller", file=sys.stderr)
+                    continue
+                raise
+        return None
+
+    result = run_ladder(ladder, model_name, tag)
+    if result is None:
+        print(json.dumps({"metric": "clips_per_sec_per_chip_vitb16_pretrain",
+                          "value": 0.0, "unit": "clips/s/chip",
+                          "vs_baseline": 0.0}))
+        return
+    if not explicit_model and accum == 1 and loss_type == "clip":
+        # also measure the reference's 12-head parity geometry (the
+        # weight-import architecture) and embed it in the same line;
+        # best-effort — the flagship number stands even if this fails
         try:
-            clips_per_sec, dt = bench_batch(batch, remat_policy=policy,
-                                            model_name=model_name,
-                                            accum=accum, loss_type=loss_type)
-            mfu = clips_per_sec * 3 * model_fwd_flops() / V5E_PEAK_FLOPS
-            result = {
-                "metric": f"clips_per_sec_per_chip_{tag}_pretrain_b{batch}",
-                "value": round(clips_per_sec, 2),
-                "unit": "clips/s/chip",
-                "vs_baseline": round(
-                    clips_per_sec / BASELINE_CLIPS_PER_SEC_PER_GPU, 3
-                ),
-                "mfu": round(mfu, 4),
-                "step_ms": round(dt * 1e3, 1),
-            }
-            print(json.dumps(result))
-            return
-        except Exception as e:  # OOM at this batch: halve and retry
-            msg = str(e).lower()
-            if any(t in msg for t in ("resource_exhausted", "out of memory",
-                                      "hbm", "compile")):
-                print(f"batch {batch} failed ({type(e).__name__}), retrying "
-                      f"smaller", file=sys.stderr)
-                continue
-            raise
-    print(json.dumps({"metric": "clips_per_sec_per_chip_vitb16_pretrain",
-                      "value": 0.0, "unit": "clips/s/chip",
-                      "vs_baseline": 0.0}))
+            parity = run_ladder(
+                ((256, "save_attn_k10"), (224, "save_attn")),
+                "CLIP_VITB16", "vitb16")
+            if parity is not None:
+                result["parity_metric"] = parity["metric"]
+                result["parity_value"] = parity["value"]
+                result["parity_mfu"] = parity["mfu"]
+                result["parity_vs_baseline"] = parity["vs_baseline"]
+        except Exception as e:
+            print(f"parity-geometry bench failed: {e}", file=sys.stderr)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

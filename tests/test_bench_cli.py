@@ -34,27 +34,39 @@ def test_bench_main_contract(capsys, monkeypatch):
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()
     row = json.loads(out[-1])
-    assert row["metric"] == "clips_per_sec_per_chip_vitb16_pretrain_b256"
+    # default: flagship H128 geometry headline + embedded parity row
+    assert row["metric"] == \
+        "clips_per_sec_per_chip_clip_vitb16_h128_pretrain_b256"
     assert set(row) >= {"value", "unit", "vs_baseline", "mfu", "step_ms"}
-    # parity geometry at b256 uses the probed k10 policy
-    assert calls[-1] == (256, "save_attn_k10", "CLIP_VITB16", 1, "clip")
+    assert row["parity_metric"] == \
+        "clips_per_sec_per_chip_vitb16_pretrain_b256"
+    assert row["parity_value"] == 200.0
+    # H128 frees the lse residual: full save_attn at b256; the parity
+    # geometry at b256 uses the probed k10 policy
+    assert calls[0] == (256, "save_attn", "CLIP_VITB16_H128", 1, "clip")
+    assert calls[1] == (256, "save_attn_k10", "CLIP_VITB16", 1, "clip")
 
     monkeypatch.setattr(sys, "argv",
-                        ["bench.py", "--model", "CLIP_VITB16_H128"])
+                        ["bench.py", "--model", "CLIP_VITB16"])
     bench.main()
     row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert "h128" in row["metric"]
-    # H128 frees the lse residual: full save_attn at b256
-    assert calls[-1] == (256, "save_attn", "CLIP_VITB16_H128", 1, "clip")
+    # explicit --model: no second (parity) measurement run
+    assert row["metric"] == "clips_per_sec_per_chip_vitb16_pretrain_b256"
+    assert "parity_metric" not in row
+    assert calls[-1] == (256, "save_attn_k10", "CLIP_VITB16", 1, "clip")
 
-    # variant knobs: pinned batch + cached accumulation + siglip
-    monkeypatch.setattr(sys, "argv", ["bench.py", "--batch", "512",
+    # variant knobs: pinned batch + cached accumulation + siglip (no
+    # second parity run for variant measurements)
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--model", "CLIP_VITB16",
+                                      "--batch", "512",
                                       "--accum", "2", "--loss", "siglip"])
+    n_before = len(calls)
     bench.main()
     row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert row["metric"] == \
         "clips_per_sec_per_chip_vitb16_siglip_accum2_pretrain_b512"
     assert calls[-1] == (512, "save_attn", "CLIP_VITB16", 2, "siglip")
+    assert len(calls) == n_before + 1
 
 
 def test_bench_main_usage_error(monkeypatch):
