@@ -273,6 +273,12 @@ class TrainConfig:
     cutmix: float = 0.0
     mixup_prob: float = 1.0
     mixup_switch_prob: float = 0.5
+    # timm Mixup granularity: batch | pair | elem (``--mixup-mode``,
+    # main_videomae_finetune.py mixup args)
+    mixup_mode: str = "batch"
+    # cutmix box fraction bounds (``--cutmix-minmax``); set overrides
+    # the cutmix_alpha Beta draw with uniform box sampling
+    cutmix_minmax: Optional[Tuple[float, float]] = None
     smoothing: float = 0.1
     use_ema: bool = False
     ema_decay: float = 0.9999

@@ -140,6 +140,7 @@ def main(argv=None):
             mixup_cutmix, num_classes=num_classes, mixup_alpha=cfg.mixup,
             cutmix_alpha=cfg.cutmix, switch_prob=cfg.mixup_switch_prob,
             prob=cfg.mixup_prob, smoothing=cfg.smoothing,
+            mode=cfg.mixup_mode, cutmix_minmax=cfg.cutmix_minmax,
         )
         mix_fn = lambda key, v, l: mix(key, v, l)
     else:
