@@ -149,6 +149,10 @@ class DataConfig:
     val_metadata: str = ""
     relevancy_path: str = ""
     label_map: str = ""
+    # fast-iteration subsets: keep every Nth train sample (the
+    # reference's ``--subsample_stride`` quick-prototype slicing,
+    # clip_dataset.py:670-676); None = full dataset
+    subsample_stride: Optional[int] = None
     # clip sampling (semantics of avion/data/clip_dataset.py:19-27)
     clip_length: int = 16
     clip_stride: int = 4

@@ -53,6 +53,7 @@ def main(argv=None):
         "ek100_mir", d.root, d.train_metadata, is_training=True,
         clip_length=d.clip_length, chunk_len=d.chunk_len,
         threads=d.decode_threads, decode_fast=d.decode_fast,
+        subsample_stride=d.subsample_stride,
         augment=AugmentSpec(crop_size=d.crop_size, mode="rrc",
                             scale_min=d.scale_min, scale_max=d.scale_max),
     )

@@ -109,6 +109,7 @@ def build_loaders(cfg: TrainConfig):
             is_training=True, clip_length=d.clip_length,
             chunk_len=d.chunk_len, fps=d.fps, threads=d.decode_threads,
             decode_fast=d.decode_fast, augment=augment,
+            subsample_stride=d.subsample_stride,
         )
 
     train_ds = make_ds(d.train_metadata)

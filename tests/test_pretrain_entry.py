@@ -294,6 +294,20 @@ def test_concat_dataset_dispatch():
     assert [ds2[i] for i in range(6)] == [0, 1, 2, 10, 20, 21]
 
 
+def test_subsample_stride_slices_train_set(tiny_ego4d):
+    """data.subsample_stride keeps every Nth sample (the reference's
+    --subsample_stride quick-prototype slicing, clip_dataset.py:670)."""
+    from avion_tpu.data.datasets import VideoCaptionDataset
+
+    root, meta = tiny_ego4d
+    full = VideoCaptionDataset("ego4d", root, meta, clip_length=2,
+                               chunk_len=CHUNK, fps=FPS)
+    sub = VideoCaptionDataset("ego4d", root, meta, clip_length=2,
+                              chunk_len=CHUNK, fps=FPS, subsample_stride=3)
+    assert len(sub) == (len(full) + 2) // 3
+    assert sub.samples[1] == full.samples[3]
+
+
 def test_pretrain_entry_aux_metadata(tiny_ego4d, tmp_path, capsys):
     """data.train_metadata_aux concatenates pseudo-narration pkls into
     the train set (--train-metadata-aux, main_lavila_pretrain.py:470)."""
