@@ -39,6 +39,7 @@ class NLQConfig:
     video_feature_dim: int = 768
     query_feature_dim: int = 512
     drop_rate: float = 0.2
+    variant: str = "full"  # "full" (CQAttention) | "small" (VSLNet_small)
     highlight_weight: float = 5.0
     lr: float = 1e-3
     epochs: int = 10
@@ -98,7 +99,8 @@ def main(argv=None):
                    max_pos_len=cfg.max_pos_len,
                    video_feature_dim=cfg.video_feature_dim,
                    query_feature_dim=cfg.query_feature_dim,
-                   drop_rate=cfg.drop_rate)
+                   drop_rate=cfg.drop_rate,
+                   use_cq_attention=(cfg.variant != "small"))
     rng = jax.random.PRNGKey(cfg.seed)
     b0 = _collate([train_ds[0]])
     params = model.init(rng, b0["video"], b0["v_mask"], b0["query"],

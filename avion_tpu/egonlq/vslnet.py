@@ -152,7 +152,16 @@ class CQConcatenate(nn.Module):
 
 class VSLNet(nn.Module):
     """video features [B, Lv, Dv] + query features [B, Lq, Dq] ->
-    (highlight scores, start logits, end logits)."""
+    (highlight scores, start logits, end logits).
+
+    ``use_cq_attention=False`` selects the reference's "small" variant
+    (``egonlq/model/VSLNet_small.py:59-135``): no context-query
+    attention — the encoded video features go straight into
+    CQConcatenate.  (The reference small variant also carries a
+    leftover duplicate ``self.predictor(video_features)`` call that
+    overwrites the highlight-weighted prediction; that is a dead-code
+    quirk, not a design, and is not replicated.)
+    """
 
     dim: int = 128
     num_heads: int = 8
@@ -160,6 +169,7 @@ class VSLNet(nn.Module):
     video_feature_dim: int = 768
     query_feature_dim: int = 768
     drop_rate: float = 0.2
+    use_cq_attention: bool = True
 
     @nn.compact
     def __call__(self, video, v_mask, query, q_mask, deterministic=True):
@@ -173,8 +183,12 @@ class VSLNet(nn.Module):
         q = encoder(q, q_mask, deterministic)
         v = encoder(v, v_mask, deterministic)
 
-        feats = CQAttention(self.dim, self.drop_rate, name="cq_attention")(
-            v, q, v_mask, q_mask, deterministic)
+        if self.use_cq_attention:
+            feats = CQAttention(self.dim, self.drop_rate,
+                                name="cq_attention")(
+                v, q, v_mask, q_mask, deterministic)
+        else:
+            feats = v
         feats = CQConcatenate(self.dim, name="cq_concat")(feats, q, q_mask)
 
         h_logits = nn.Dense(1, name="highlight")(feats)[:, :, 0]

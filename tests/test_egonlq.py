@@ -97,6 +97,37 @@ def test_vslnet_forward_and_loss(rng):
     assert losses[-1] < losses[0]
 
 
+def test_vslnet_small_variant(rng):
+    """use_cq_attention=False = the reference's VSLNet_small: no
+    cq_attention params, same output contract, trainable."""
+    model = VSLNet(dim=32, num_heads=4, max_pos_len=16,
+                   video_feature_dim=24, query_feature_dim=12,
+                   use_cq_attention=False)
+    B, Lv, Lq = 2, 16, 5
+    r = np.random.RandomState(2)
+    video = jnp.asarray(r.randn(B, Lv, 24), jnp.float32)
+    query = jnp.asarray(r.randn(B, Lq, 12), jnp.float32)
+    v_mask = jnp.ones((B, Lv))
+    q_mask = jnp.ones((B, Lq))
+    params = model.init(rng, video, v_mask, query, q_mask)["params"]
+    assert "cq_attention" not in params
+    assert "cq_concat" in params
+    h, s, e = model.apply({"params": params}, video, v_mask, query, q_mask)
+    assert h.shape == (B, Lv) and s.shape == (B, Lv) and e.shape == (B, Lv)
+    batch = {
+        "v_mask": v_mask,
+        "h_labels": jnp.zeros((B, Lv)).at[:, 2:5].set(1.0),
+        "start_label": jnp.asarray([2, 3]),
+        "end_label": jnp.asarray([4, 6]),
+    }
+    loss, _ = vslnet_loss(h, s, e, batch)
+    g = jax.grad(lambda p: vslnet_loss(*model.apply(
+        {"params": p}, video, v_mask, query, q_mask), batch)[0])(params)
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()), g, 0.0)
+    assert np.isfinite(float(loss)) and gnorm > 0
+
+
 def test_extract_top_spans_respects_order():
     s = jnp.asarray([[0.0, 10.0, 0.0, 0.0]])
     e = jnp.asarray([[0.0, 0.0, 10.0, 0.0]])

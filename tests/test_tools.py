@@ -96,6 +96,30 @@ def test_refinement_eval():
     assert interval_iou((0, 4), (2, 6)) == pytest.approx(2 / 6)
 
 
+def test_refinement_scaling_analysis():
+    """Windows at half the annotated width: the sweep's mIoU peak must
+    land at scale 2.0 and peak_summary must recommend it."""
+    from avion_tpu.tools.refinement_eval import peak_summary, scaling_analysis
+
+    annotated = {k: (10.0, 20.0) for k in "abcd"}
+    refined = {k: (12.5, 17.5) for k in "abcd"}
+    sweep = scaling_analysis(refined, annotated, min_scale=0.5,
+                             max_scale=3.0, step=0.25)
+    assert len(sweep["scales"]) == len(sweep["mIoU"])
+    best = sweep["scales"][int(np.argmax(sweep["mIoU"]))]
+    assert best == pytest.approx(2.0)
+    peaks = peak_summary(sweep)
+    assert peaks["mIoU"]["scale"] == pytest.approx(2.0)
+    assert peaks["mIoU"]["value"] == pytest.approx(1.0)
+    # recall@0.5 first reaches 1.0 at scale 1.0 (IoU exactly 0.5);
+    # argmax-first tie-breaking recommends that earliest peak
+    assert peaks["recall@0.5"]["value"] == pytest.approx(1.0)
+    assert peaks["recommended_scale"] == pytest.approx(1.0)
+    # recall@0.9 is 0 at scale 0.5 (IoU=0.25) and 1 at scale 2.0
+    i_half = sweep["scales"].index(0.5)
+    assert sweep["recall@0.9"][i_half] == 0.0
+
+
 def test_subset_and_statistics(tmp_path):
     rows = [(f"v{i}", i, i + 2.0, f"cap {i}") for i in range(10)]
     inp = str(tmp_path / "m.pkl")
