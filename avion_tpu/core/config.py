@@ -153,6 +153,11 @@ class DataConfig:
     # reference's ``--subsample_stride`` quick-prototype slicing,
     # clip_dataset.py:670-676); None = full dataset
     subsample_stride: Optional[int] = None
+    # tar-sharded training input (data/shards.py): when set, the
+    # pretrain entry reads packed shards (seek+read on a few large
+    # files — the object-storage-friendly path) instead of per-chunk
+    # mp4 files; pack with `python -m avion_tpu.data.shards`
+    shard_dir: str = ""
     # clip sampling (semantics of avion/data/clip_dataset.py:19-27)
     clip_length: int = 16
     clip_stride: int = 4

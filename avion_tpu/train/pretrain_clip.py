@@ -112,7 +112,20 @@ def build_loaders(cfg: TrainConfig):
             subsample_stride=d.subsample_stride,
         )
 
-    train_ds = make_ds(d.train_metadata)
+    if d.shard_dir:
+        # tar-sharded input: per-sample clips packed into large shard
+        # files (data/shards.py) — the object-storage deployment path
+        from avion_tpu.data.shards import ShardedVideoCaptionDataset
+
+        train_ds = ShardedVideoCaptionDataset(
+            d.shard_dir, is_training=True, clip_length=d.clip_length,
+            threads=d.decode_threads, augment=augment,
+            subsample_stride=d.subsample_stride,
+            decode_fast=bool(d.decode_fast)
+            if d.decode_fast is not None else True,
+        )
+    else:
+        train_ds = make_ds(d.train_metadata)
     if d.train_metadata_aux:
         # auxiliary pseudo-narration pkls concatenated into the train
         # set (main_lavila_pretrain.py:470-495)
