@@ -49,7 +49,7 @@ from avion_tpu.data.datasets import AugmentSpec, _PicklableCache
 from avion_tpu.data.sampling import get_frame_ids, load_clip
 from avion_tpu.data.tokenizer import tokenize
 from avion_tpu.data.transforms import CropSpec, sample_rrc
-from avion_tpu.data.video_reader import VideoReader
+from avion_tpu.data.video_reader import DecodeError, VideoReader
 
 INDEX_NAME = "index.json"
 
@@ -168,8 +168,11 @@ def pack_shards(
     out = {"samples": index,
            "meta": {"dataset": dataset, "pack_fps": pack_fps,
                     "short_side": short_side, "count": len(index)}}
-    with open(osp.join(out_dir, INDEX_NAME), "w") as f:
+    # atomic publish: a crash mid-write never leaves a truncated index
+    tmp = osp.join(out_dir, INDEX_NAME + ".tmp")
+    with open(tmp, "w") as f:
         json.dump(out, f)
+    os.replace(tmp, osp.join(out_dir, INDEX_NAME))
     return out
 
 
@@ -280,14 +283,30 @@ class ShardedVideoCaptionDataset(_PicklableCache):
         f.seek(row["mp4_off"])
         return f.read(row["mp4_len"])
 
+    def _placeholder(self):
+        """Zero clip for corrupt members — the same degrade-don't-die
+        contract as ``load_clip``'s missing-chunk placeholder."""
+        size = (self.augment.decode_size
+                if self.augment.mode == "device_rrc"
+                else self.augment.crop_size)
+        z = np.zeros((self.clip_length, size, size, 3), np.uint8)
+        if self.augment.mode == "device_rrc":
+            return z, np.asarray([0, 0, 1, 1], np.float32), np.bool_(False)
+        return z, None, None
+
     def _decode(self, payload: bytes, key: str, rng):
         clip = _InMemoryClip(key, payload)
         vr = None
         try:
-            vr = VideoReader(clip.path, num_threads=self.threads,
-                             fast=self.decode_fast)
+            try:
+                vr = VideoReader(clip.path, num_threads=self.threads,
+                                 fast=self.decode_fast)
+            except DecodeError:
+                return self._placeholder()
             n = len(vr)
-            ids = get_frame_ids(0, max(n, 1), self.clip_length,
+            if n <= 0:
+                return self._placeholder()
+            ids = get_frame_ids(0, n, self.clip_length,
                                 jitter=self.is_training, rng=rng)
             ids = [min(i, n - 1) for i in ids]
             if self.augment.mode == "device_rrc":

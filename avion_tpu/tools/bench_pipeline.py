@@ -93,6 +93,12 @@ def main(argv=None):
                    help="core count for the projected duty cycle")
     p.add_argument("--root", default=None,
                    help="reuse an existing synthetic dataset dir")
+    p.add_argument("--sharded", action="store_true",
+                   help="bench the tar-sharded input path "
+                        "(data/shards.py): the synthetic dataset is "
+                        "packed once into shards under <root>/_shards "
+                        "and read back through "
+                        "ShardedVideoCaptionDataset")
     p.add_argument("--replay", action="store_true",
                    help="after the live run, re-run the step loop fed "
                         "from a pool of pre-decoded batches — measures "
@@ -121,11 +127,27 @@ def main(argv=None):
     meta = make_chunked_dataset(root, n_videos=args.videos)
     print(f"[setup] dataset ready in {time.perf_counter() - t0:.1f}s")
 
-    ds = VideoCaptionDataset(
-        "ego4d", root, meta, is_training=True,
-        clip_length=args.clip_length, chunk_len=15, fps=30, threads=1,
-        augment=AugmentSpec(crop_size=args.crop_size, mode="rrc"),
-    )
+    if args.sharded:
+        from avion_tpu.data.shards import (
+            INDEX_NAME, ShardedVideoCaptionDataset, pack_shards)
+
+        shard_dir = osp.join(root, "_shards")
+        if not osp.exists(osp.join(shard_dir, INDEX_NAME)):
+            t0 = time.perf_counter()
+            pack_shards("ego4d", root, meta, shard_dir, chunk_len=15,
+                        fps=30, pack_fps=30, short_side=288)
+            print(f"[setup] shards packed in "
+                  f"{time.perf_counter() - t0:.1f}s")
+        ds = ShardedVideoCaptionDataset(
+            shard_dir, is_training=True, clip_length=args.clip_length,
+            augment=AugmentSpec(crop_size=args.crop_size, mode="rrc"),
+        )
+    else:
+        ds = VideoCaptionDataset(
+            "ego4d", root, meta, is_training=True,
+            clip_length=args.clip_length, chunk_len=15, fps=30, threads=1,
+            augment=AugmentSpec(crop_size=args.crop_size, mode="rrc"),
+        )
     # measure raw single-core decode rate first (host-side bound)
     t0 = time.perf_counter()
     n_probe = 8
@@ -231,6 +253,7 @@ def main(argv=None):
     projected = min(1.0, supply / max(demand, 1e-9))
     result = {
         "metric": "pipeline_clips_per_sec_e2e",
+        "input_path": "sharded" if args.sharded else "chunked",
         "value": round(clips_per_sec, 2),
         "unit": "clips/s/chip",
         "duty_cycle": round(stats.get("duty_cycle", 0.0), 4),

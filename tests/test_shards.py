@@ -130,6 +130,17 @@ def test_sharded_dataset_through_worker_loader(packed):
     assert batch["text"].shape == (4, 77)
 
 
+def test_corrupt_member_yields_placeholder(packed):
+    _, _, out_dir, _ = packed
+    ds = ShardedVideoCaptionDataset(
+        out_dir, is_training=False, clip_length=2,
+        augment=AugmentSpec(crop_size=32, mode="center"))
+    rng = np.random.RandomState(0)
+    frames, crop, hflip = ds._decode(b"definitely not an mp4", "bad", rng)
+    assert frames.shape == (2, 32, 32, 3)
+    assert frames.sum() == 0 and crop is None
+
+
 def test_subsample_stride(packed):
     _, _, out_dir, _ = packed
     ds = ShardedVideoCaptionDataset(out_dir, subsample_stride=2)
