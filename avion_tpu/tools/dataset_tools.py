@@ -10,10 +10,16 @@ Counterparts of second_party helpers:
 - caption dedup/merge preprocessing (``preprocess/dataset_preprocessing_
   phase1.py:32-47`` semantics: merge near-duplicate consecutive
   captions)
+- video duration table (``utils/compute_video_lengths.py``), uuid
+  stamping of caption variants
+  (``utils/create_lavila_rephrased_dataset_with_uuid.py``) and refined
+  timestamp transplant onto another caption variant
+  (``utils/copy_timestamps_to_lavila_dataset.py``)
 """
 
 from __future__ import annotations
 
+import os
 import pickle
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -214,6 +220,84 @@ def phase2_group_captions(
         if sim > similarity_threshold:
             merge.append((cur[0], nxt[0]))
     return merge
+
+
+def compute_video_lengths(video_root: str, out_path: Optional[str] = None,
+                          ) -> Dict[str, float]:
+    """Duration (seconds) per video under ``video_root``
+    (``utils/compute_video_lengths.py``) — the table the scaling
+    analysis uses to clamp scaled windows.  Handles both flat ``.mp4``
+    files and the chunked layout (``<vid>.mp4/<start>.mp4`` directories
+    sum their chunks).  Unreadable files count as 0.0, like the
+    reference."""
+    import glob
+    import os.path as osp
+
+    from avion_tpu.data.video_reader import DecodeError, VideoReader
+
+    def duration(path: str) -> float:
+        try:
+            vr = VideoReader(path)
+            fps = vr.get_avg_fps() or 0.0
+            d = len(vr) / fps if fps > 0 else 0.0
+            vr.close()
+            return d
+        except DecodeError:
+            return 0.0
+
+    out: Dict[str, float] = {}
+    for entry in sorted(os.listdir(video_root)):
+        p = osp.join(video_root, entry)
+        if osp.isdir(p):  # chunked: sum the chunks
+            chunks = sorted(glob.glob(osp.join(p, "*.*")))
+            out[entry] = float(sum(duration(c) for c in chunks))
+        elif entry.lower().endswith((".mp4", ".mkv", ".avi", ".webm")):
+            out[entry] = duration(p)
+    if out_path:
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump(out, f)
+    return out
+
+
+def attach_uuids(original_with_uuid: Sequence, variant: Sequence,
+                 *, check: bool = True) -> List[Tuple]:
+    """Stamp a caption-variant pkl (4-tuples ``(vid, start, end,
+    captions)``) with the uuids of the positionally aligned original
+    5-tuples ``(uuid, vid, start, end, caption)``
+    (``utils/create_lavila_rephrased_dataset_with_uuid.py``).  With
+    ``check`` the windows must agree row-by-row."""
+    out = []
+    for o, v in zip(original_with_uuid, variant):
+        if check:
+            if float(o[2]) != float(v[1]) or float(o[3]) != float(v[2]):
+                raise ValueError(
+                    f"window mismatch for uuid {o[0]}: "
+                    f"({o[2]}, {o[3]}) vs ({v[1]}, {v[2]})")
+        out.append((o[0], v[0], v[1], v[2], v[3]))
+    return out
+
+
+def transplant_timestamps(source_timestamps: Sequence,
+                          caption_variant: Sequence) -> List[Tuple]:
+    """Copy refined [start, end) windows onto another uuid-stamped
+    caption variant (``utils/copy_timestamps_to_lavila_dataset.py``):
+    both inputs are 5-tuples ``(uuid, vid, start, end, captions)``;
+    the output keeps the variant's vid+captions with the source's
+    window, dropping rows whose uuid has no refined counterpart."""
+    refined = {r[0]: r for r in source_timestamps}
+    out = []
+    for row in caption_variant:
+        src = refined.get(row[0])
+        if src is not None:
+            out.append((row[0], row[1], src[2], src[3], row[4]))
+    return out
+
+
+def strip_uuid(rows: Sequence) -> List[Tuple]:
+    """5-tuples -> the 4-tuple trainer format (drop the uuid column)."""
+    return [tuple(r[1:]) for r in rows]
 
 
 def apply_merge_pairs(samples: Sequence,

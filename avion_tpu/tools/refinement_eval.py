@@ -17,7 +17,7 @@ import argparse
 import csv
 import json
 import pickle
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -70,6 +70,7 @@ def scaling_analysis(
     max_scale: float = 3.0,
     step: float = 0.1,
     thresholds=(0.1, 0.3, 0.5, 0.7, 0.9),
+    durations: Optional[Dict[str, float]] = None,
 ) -> Dict[str, list]:
     """Sweep center-anchored window scaling and measure IoU metrics.
 
@@ -78,6 +79,9 @@ def scaling_analysis(
     refined windows are rescaled about their centers and evaluated
     against the annotations, yielding mIoU and recall@t curves over the
     sweep — the tool used to pick the training-time window scale.
+    ``durations`` (per-key video durations, e.g. built from
+    ``dataset_tools.compute_video_lengths``) clamps scaled windows to
+    the video like the reference's ``jitter_scale_window``.
     """
     from avion_tpu.tools.alignment_ablation import perturb_window
 
@@ -87,7 +91,11 @@ def scaling_analysis(
            **{f"recall@{t}": [] for t in thresholds}}
     keys = sorted(set(refined) & set(annotated))
     for s in scales:
-        scaled = {k: perturb_window(*refined[k], "scale", s) for k in keys}
+        scaled = {
+            k: perturb_window(
+                *refined[k], "scale", s,
+                max_duration=(durations or {}).get(k, float("inf")))
+            for k in keys}
         ious = np.array([interval_iou(scaled[k], annotated[k])
                          for k in keys]) if keys else np.array([])
         out["mIoU"].append(float(ious.mean()) if len(ious) else 0.0)

@@ -118,6 +118,15 @@ def test_refinement_scaling_analysis():
     # recall@0.9 is 0 at scale 0.5 (IoU=0.25) and 1 at scale 2.0
     i_half = sweep["scales"].index(0.5)
     assert sweep["recall@0.9"][i_half] == 0.0
+    # duration clamp: with the video 20 s long, scale 3.0 spills past
+    # the end and gets clipped (reference jitter_scale_window
+    # semantics), which here matches GT better than the free window
+    clamped = scaling_analysis(refined, annotated, min_scale=3.0,
+                               max_scale=3.0, step=1.0,
+                               durations={k: 20.0 for k in "abcd"})
+    free = scaling_analysis(refined, annotated, min_scale=3.0,
+                            max_scale=3.0, step=1.0)
+    assert clamped["mIoU"][0] > free["mIoU"][0]
 
 
 def test_subset_and_statistics(tmp_path):
@@ -130,6 +139,61 @@ def test_subset_and_statistics(tmp_path):
     stats = dataset_statistics(rows)
     assert stats["n_samples"] == 10
     assert stats["duration_mean"] == pytest.approx(2.0)
+
+
+def test_compute_video_lengths(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from avion_tpu.tools.dataset_tools import compute_video_lengths
+
+    def write(path, frames, fps=10):
+        vw = cv2.VideoWriter(str(path),
+                             cv2.VideoWriter_fourcc(*"mp4v"), fps, (32, 32))
+        for i in range(frames):
+            vw.write(np.full((32, 32, 3), i % 255, np.uint8))
+        vw.release()
+
+    root = tmp_path / "vids"
+    root.mkdir()
+    write(root / "flat.mp4", 40)               # 4 s
+    chunked = root / "vidA.mp4"
+    chunked.mkdir()
+    write(chunked / "0.mp4", 20)               # 2 s
+    write(chunked / "2.mp4", 10)               # 1 s
+    (root / "bad.mp4").write_bytes(b"junk")    # unreadable -> 0.0
+    out_json = str(tmp_path / "lengths.json")
+    out = compute_video_lengths(str(root), out_json)
+    assert out["flat.mp4"] == pytest.approx(4.0, abs=0.2)
+    assert out["vidA.mp4"] == pytest.approx(3.0, abs=0.2)
+    assert out["bad.mp4"] == 0.0
+    import json as _json
+
+    assert _json.load(open(out_json)) == out
+
+
+def test_attach_and_transplant_timestamps():
+    from avion_tpu.tools.dataset_tools import (
+        attach_uuids,
+        strip_uuid,
+        transplant_timestamps,
+    )
+
+    original = [("u0", "vidA", 1.0, 2.0, "cap a"),
+                ("u1", "vidB", 3.0, 4.0, "cap b")]
+    rephrased = [("vidA", 1.0, 2.0, ["ra1", "ra2"]),
+                 ("vidB", 3.0, 4.0, ["rb1"])]
+    stamped = attach_uuids(original, rephrased)
+    assert stamped == [("u0", "vidA", 1.0, 2.0, ["ra1", "ra2"]),
+                       ("u1", "vidB", 3.0, 4.0, ["rb1"])]
+    with pytest.raises(ValueError):
+        attach_uuids(original, [("vidA", 9.0, 2.0, ["x"])])
+
+    refined = [("u1", "vidB", 2.8, 4.4, "cap b"),
+               ("u9", "vidZ", 0.0, 1.0, "zz")]
+    merged = transplant_timestamps(refined, stamped)
+    # u0 has no refined counterpart -> dropped; u1 gets refined window
+    # with the rephrased captions
+    assert merged == [("u1", "vidB", 2.8, 4.4, ["rb1"])]
+    assert strip_uuid(merged) == [("vidB", 2.8, 4.4, ["rb1"])]
 
 
 def test_dedup_and_hierarchical_merge():
