@@ -119,6 +119,12 @@ class VideoCaptionDataset(_PicklableCache):
             raise ValueError(dataset)
         if subsample_stride:  # fast-iteration subsets (clip_dataset.py:670-676)
             self.samples = self.samples[::subsample_stride]
+            # keep relevancy rows aligned with the subsampled samples
+            # (the reference leaves the matrix unsliced and indexes it
+            # with subsampled i — clip_dataset.py:471-482 vs :676 — a
+            # quirk we fix rather than replicate)
+            if getattr(self, "relevancy_mat", None) is not None:
+                self.relevancy_mat = self.relevancy_mat[::subsample_stride]
         self._cache: dict = {}
 
     def __len__(self):

@@ -114,14 +114,21 @@ def pack_shards(
     ext: str = "mp4",
     limit: Optional[int] = None,
 ) -> Dict[str, Any]:
-    """Pack an ego4d-style metadata pkl + chunked root into tar shards.
+    """Pack a metadata table + chunked root into tar shards.
 
-    Returns the index dict (also written to ``out_dir/index.json``).
+    ``dataset='ego4d'`` reads the 4-tuple pkl; ``'ek100_mir'`` reads
+    the EPIC retrieval csv (per-video fps probed from chunk 0, ext
+    ``MP4``).  Shard rows preserve metadata order, so MIR extras
+    (sentences/relevancy) stay row-aligned with the index.  Returns the
+    index dict (also written to ``out_dir/index.json``).
     """
-    if dataset != "ego4d":
-        raise ValueError("pack_shards currently supports ego4d-style "
-                         f"(vid, start, end, caption) metadata, got {dataset!r}")
-    samples = md.load_ego4d(metadata_path)
+    if dataset == "ego4d":
+        samples = md.load_ego4d(metadata_path)
+    elif dataset == "ek100_mir":
+        samples = md.load_ek100(root, metadata_path)
+        ext = "MP4"
+    else:
+        raise ValueError(f"unsupported dataset {dataset!r}")
     if limit:
         samples = samples[:limit]
     os.makedirs(out_dir, exist_ok=True)
@@ -141,8 +148,9 @@ def pack_shards(
 
     open_shard()
     for i, s in enumerate(samples):
+        src_fps = s.fps if dataset == "ek100_mir" else fps
         frames = _read_window(root, s.vid, ext, s.start, s.end,
-                              chunk_len, fps, pack_fps, short_side)
+                              chunk_len, src_fps, pack_fps, short_side)
         clip = _encode_clip_mp4(frames, pack_fps)
         key = f"{i:09d}"
         meta = {"vid": s.vid, "start": s.start, "end": s.end,
@@ -250,13 +258,24 @@ class ShardedVideoCaptionDataset(_PicklableCache):
         narration_selection: str = "random",
         subsample_stride: Optional[int] = None,
         decode_fast: bool = False,
+        mir_metadata: Optional[str] = None,
     ):
         self.shard_dir = shard_dir
         with open(osp.join(shard_dir, INDEX_NAME)) as f:
             idx = json.load(f)
         self.samples = idx["samples"]
+        # ek100_mir training: relevancy-weighted caption swap, same
+        # semantics as VideoCaptionDataset (shard rows preserve the
+        # metadata csv order, so the matrix stays row-aligned)
+        self.sentences = self.relevancy_mat = None
+        self.relevancy = 0.1
+        if mir_metadata and is_training:
+            (self.sentences, self.relevancy_mat,
+             self.relevancy) = md.load_ek100_mir_extras(mir_metadata)
         if subsample_stride:
             self.samples = self.samples[::subsample_stride]
+            if self.relevancy_mat is not None:
+                self.relevancy_mat = self.relevancy_mat[::subsample_stride]
         self.meta = idx.get("meta", {})
         self.is_training = is_training
         self.clip_length = clip_length
@@ -334,6 +353,15 @@ class ShardedVideoCaptionDataset(_PicklableCache):
         frames, crop_arr, hflip = self._decode(
             self._read_member(row), row["key"], rng)
         caption = row.get("caption")
+        relevancy = 1.0
+        if self.relevancy_mat is not None:
+            pos = np.where(self.relevancy_mat[i] > self.relevancy)[0]
+            if len(pos):
+                j = int(rng.choice(pos))
+                if j < len(self.sentences) \
+                        and j < self.relevancy_mat.shape[1]:
+                    caption = self.sentences.iloc[j, 1]
+                    relevancy = float(self.relevancy_mat[i][j])
         if isinstance(caption, list):
             if self.narration_selection == "random":
                 caption = caption[rng.randint(len(caption))] if caption else ""
@@ -342,7 +370,7 @@ class ShardedVideoCaptionDataset(_PicklableCache):
         item = {
             "video": frames,
             "text": tokenize(str(caption), self.context_length),
-            "relevancy": np.float32(1.0),
+            "relevancy": np.float32(relevancy),
         }
         if crop_arr is not None:
             item["crop"] = crop_arr

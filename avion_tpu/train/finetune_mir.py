@@ -49,14 +49,29 @@ def main(argv=None):
     setup_host(cfg.seed)
 
     d = cfg.data
-    train_ds = VideoCaptionDataset(
-        "ek100_mir", d.root, d.train_metadata, is_training=True,
-        clip_length=d.clip_length, chunk_len=d.chunk_len,
-        threads=d.decode_threads, decode_fast=d.decode_fast,
-        subsample_stride=d.subsample_stride,
-        augment=AugmentSpec(crop_size=d.crop_size, mode="rrc",
-                            scale_min=d.scale_min, scale_max=d.scale_max),
-    )
+    mir_augment = AugmentSpec(crop_size=d.crop_size, mode="rrc",
+                              scale_min=d.scale_min, scale_max=d.scale_max)
+    if d.shard_dir:
+        # tar-sharded input (data/shards.py); relevancy extras still
+        # come from the csv via mir_metadata
+        from avion_tpu.data.shards import ShardedVideoCaptionDataset
+
+        train_ds = ShardedVideoCaptionDataset(
+            d.shard_dir, is_training=True, clip_length=d.clip_length,
+            threads=d.decode_threads, augment=mir_augment,
+            subsample_stride=d.subsample_stride,
+            decode_fast=bool(d.decode_fast)
+            if d.decode_fast is not None else True,
+            mir_metadata=d.train_metadata,
+        )
+    else:
+        train_ds = VideoCaptionDataset(
+            "ek100_mir", d.root, d.train_metadata, is_training=True,
+            clip_length=d.clip_length, chunk_len=d.chunk_len,
+            threads=d.decode_threads, decode_fast=d.decode_fast,
+            subsample_stride=d.subsample_stride,
+            augment=mir_augment,
+        )
     train_loader = DataLoader(train_ds, d.batch_size, shuffle=True,
                               drop_last=True, num_workers=d.num_workers,
                               prefetch_depth=d.prefetch_depth, seed=cfg.seed)

@@ -82,6 +82,27 @@ def ek100(tmp_path_factory):
     return root, meta_dir
 
 
+def test_mir_subsample_keeps_relevancy_aligned(ek100):
+    """subsample_stride must slice relevancy rows with the samples:
+    with an identity relevancy matrix, every item's relevancy-swapped
+    caption is its own narration (the reference leaves the matrix
+    unsliced — clip_dataset.py:471 vs :676 — which would swap in the
+    wrong sentence here)."""
+    from avion_tpu.data.datasets import AugmentSpec, VideoCaptionDataset
+    from avion_tpu.data.tokenizer import tokenize
+
+    root, meta = ek100
+    ds = VideoCaptionDataset(
+        "ek100_mir", root, osp.join(meta, "EPIC_100_retrieval_train.csv"),
+        is_training=True, clip_length=2, chunk_len=CHUNK,
+        augment=AugmentSpec(crop_size=32), subsample_stride=2)
+    assert len(ds) == 4
+    assert ds.relevancy_mat.shape[0] == 4
+    item = ds[1]  # original sample 2
+    np.testing.assert_array_equal(item["text"], tokenize("take thing 2", 77))
+    assert item["relevancy"] == np.float32(1.0)
+
+
 def test_finetune_mir_entry(ek100, tmp_path):
     root, meta = ek100
     out = str(tmp_path / "mir")

@@ -130,6 +130,67 @@ def test_sharded_dataset_through_worker_loader(packed):
     assert batch["text"].shape == (4, 77)
 
 
+def test_pack_and_read_ek100_mir(tmp_path):
+    """ek100_mir shards: csv metadata, MP4 chunk dirs, per-video fps,
+    and the relevancy caption swap via mir_metadata."""
+    import csv
+
+    root = str(tmp_path / "ek")
+    for vid in ("P01_01", "P01_02"):
+        d = osp.join(root, "P01", f"{vid}.MP4")
+        os.makedirs(d)
+        _write_chunk(osp.join(d, "0.MP4"), 2 * CHUNK * FPS, 0)
+
+    def ts(sec):
+        return f"00:00:{sec:05.2f}"
+
+    meta_dir = str(tmp_path / "meta")
+    os.makedirs(osp.join(meta_dir, "relevancy"))
+    header = ["narration_id", "participant_id", "video_id",
+              "narration_timestamp", "start_timestamp", "stop_timestamp",
+              "start_frame", "stop_frame", "narration", "verb",
+              "verb_class", "noun", "noun_class"]
+    rows = [[str(i), "P01", "P01_01" if i % 2 == 0 else "P01_02", "x",
+             ts(0.3), ts(3.0), "9", "90", f"cut onion {i}", "v", "0",
+             "n", "0"] for i in range(4)]
+    meta_csv = osp.join(meta_dir, "EPIC_100_retrieval_train.csv")
+    with open(meta_csv, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerows(rows)
+    with open(osp.join(meta_dir, "EPIC_100_retrieval_train_sentence.csv"),
+              "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["narration_id", "narration"])
+        for r in rows:
+            w.writerow([r[0], r[8]])
+    with open(osp.join(meta_dir, "relevancy",
+                       "caption_relevancy_EPIC_100_retrieval_train.pkl"),
+              "wb") as f:
+        pickle.dump(np.eye(4, dtype=np.float32), f)
+
+    out_dir = str(tmp_path / "ek_shards")
+    index = pack_shards("ek100_mir", root, meta_csv, out_dir,
+                        samples_per_shard=4, chunk_len=CHUNK,
+                        pack_fps=FPS, short_side=0)
+    assert index["meta"]["count"] == 4
+
+    ds = ShardedVideoCaptionDataset(
+        out_dir, is_training=True, clip_length=2,
+        augment=AugmentSpec(crop_size=32), mir_metadata=meta_csv)
+    item = ds[2]
+    # identity relevancy: the swap must return the row's own narration
+    np.testing.assert_array_equal(item["text"], tokenize("cut onion 2", 77))
+    assert item["relevancy"] == np.float32(1.0)
+    # subsample keeps the matrix aligned
+    ds2 = ShardedVideoCaptionDataset(
+        out_dir, is_training=True, clip_length=2,
+        augment=AugmentSpec(crop_size=32), mir_metadata=meta_csv,
+        subsample_stride=2)
+    np.testing.assert_array_equal(ds2[1]["text"],
+                                  tokenize("cut onion 2", 77))
+
+
 def test_corrupt_member_yields_placeholder(packed):
     _, _, out_dir, _ = packed
     ds = ShardedVideoCaptionDataset(
