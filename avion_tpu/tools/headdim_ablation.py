@@ -1,0 +1,238 @@
+"""Head-split quality ablation: 12 x 64 vs 6 x 128 at fixed width.
+
+The TPU flagship geometries (``CLIP_VITB16_H128`` and friends,
+``models/registry.py``) keep the reference's widths/depths/params but
+halve the head count so every attention matmul contracts over the
+MXU's full 128 lanes — 1.43x faster attention on identical FLOPs
+(docs/PERF.md).  Head count at fixed width is a (mild) capacity knob,
+so the speed claim needs a quality measurement to stand on.
+
+This tool runs the controlled comparison the claim needs: both arms
+train from the SAME initial parameters (the fused qkv/out kernels
+carry no head structure, so the trees are shape-identical) on the SAME
+synthetic concept-association batches — K concepts, each a noisy video
+prototype paired with a fixed caption — and are scored on held-out
+retrieval (fresh noisy clips of each concept, top-1 over the K concept
+captions).  The only difference between arms is the vision-tower head
+split, so any quality gap is attributable to head_dim 64 -> 128.
+
+Usage (real chip, ~2 min; defaults sized so compile+train fits)::
+
+    python -m avion_tpu.tools.headdim_ablation \
+        --steps 200 --batch 64 --concepts 32
+
+Prints one JSON line per arm plus a combined verdict line.  Measured
+result lives in docs/PERF.md ("Head-split quality" section).
+
+Reference anchor: head count itself comes from the reference factories
+(``avion/models/model_clip.py:102-177`` — 12 heads at width 768); the
+reference never ablates it.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from typing import Dict, List
+
+import numpy as np
+
+
+def synth_concepts(rng: np.random.RandomState, n_concepts: int,
+                   frames: int, size: int, block: int = 8):
+    """Per-concept video prototypes: random block-constant uint8
+    patterns (block-constant so the signal survives patchify at any
+    patch size) + per-concept captions."""
+    blocks = rng.randint(0, 256, (n_concepts, frames, size // block,
+                                  size // block, 3), dtype=np.uint8)
+    protos = blocks.repeat(block, axis=2).repeat(block, axis=3)
+    captions = [f"a photo of concept number {i} doing action {i}"
+                for i in range(n_concepts)]
+    return protos, captions
+
+
+def noisy_clip(rng: np.random.RandomState, proto: np.ndarray,
+               sigma: float) -> np.ndarray:
+    noise = rng.normal(0.0, sigma, proto.shape)
+    return np.clip(proto.astype(np.float32) + noise, 0, 255).astype(np.uint8)
+
+
+def make_batches(seed: int, protos: np.ndarray, texts: np.ndarray,
+                 steps: int, batch: int, sigma: float) -> List[Dict]:
+    """The shared batch schedule — identical for every arm."""
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(steps):
+        idx = rng.randint(0, len(protos), batch)
+        video = np.stack([noisy_clip(rng, protos[i], sigma) for i in idx])
+        out.append({"video": video, "text": texts[idx]})
+    return out
+
+
+def run_arm(heads: int, *, init_params, batches, protos, texts,
+            heldout_per_concept: int, sigma: float, lr: float,
+            width: int, layers: int, frames: int, size: int,
+            patch: int, use_flash: bool) -> Dict:
+    import jax
+    import jax.numpy as jnp
+
+    from avion_tpu.core.config import OptimConfig
+    from avion_tpu.core.train_state import TrainState
+    from avion_tpu.models.clip import CLIP
+    from avion_tpu.optim import build_optimizer
+    from avion_tpu.train.steps import make_clip_train_step
+
+    steps = len(batches)
+    model = CLIP(
+        embed_dim=min(width, 512), image_size=size, patch_size=patch,
+        num_frames=frames, vision_width=width, vision_layers=layers,
+        vision_heads=heads, text_width=min(width, 512),
+        text_heads=8 if width >= 512 else 2, text_layers=min(layers, 12),
+        use_flash=use_flash, dtype=jnp.bfloat16,
+    )
+    cfg = OptimConfig(optimizer="adamw", lr=lr, lr_start=lr / 10,
+                      lr_end=lr / 10, warmup_epochs=0.1, epochs=1,
+                      wd=0.01, grad_clip_norm=1.0)
+    # fresh device copies: the jitted step donates its state, so each
+    # arm must own its buffers or arm 2 would read donated memory
+    params = jax.tree_util.tree_map(lambda x: jnp.array(x), init_params)
+    tx, _ = build_optimizer(cfg, params, niter_per_ep=steps)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_clip_train_step(model, tx), donate_argnums=(0,))
+
+    rng = jax.random.PRNGKey(7)
+    losses, accs = [], []
+    for i, b in enumerate(batches):
+        state, metrics = step(
+            state, {"video": jnp.asarray(b["video"]),
+                    "text": jnp.asarray(b["text"])}, rng)
+        if i >= steps - max(1, steps // 5) or i == 0:
+            losses.append(float(metrics["loss"]))
+            accs.append(float(metrics["clip_acc"]))
+
+    # held-out retrieval: fresh noisy clips per concept vs the K
+    # concept caption embeddings
+    erng = np.random.RandomState(999)
+    k = len(protos)
+    eval_videos = np.stack([
+        noisy_clip(erng, protos[c], sigma)
+        for c in range(k) for _ in range(heldout_per_concept)])
+    labels = np.repeat(np.arange(k), heldout_per_concept)
+
+    from avion_tpu.data.transforms import (
+        OPENAI_MEAN,
+        OPENAI_STD,
+        normalize_video,
+    )
+
+    @jax.jit
+    def encode(params, video, text):
+        # same normalization the train step applies (steps.prep_video)
+        v = model.apply({"params": params},
+                        normalize_video(jnp.asarray(video), OPENAI_MEAN,
+                                        OPENAI_STD, jnp.bfloat16),
+                        method=model.encode_image)
+        t = model.apply({"params": params}, jnp.asarray(text),
+                        method=model.encode_text)
+        return v, t
+
+    vecs, tvecs = [], None
+    bs = max(1, len(batches[0]["video"]))
+    for i in range(0, len(eval_videos), bs):
+        v, t = encode(state.params, eval_videos[i:i + bs], texts)
+        vecs.append(np.asarray(v, np.float32))
+        tvecs = np.asarray(t, np.float32)
+    sims = np.concatenate(vecs) @ tvecs.T
+    top1 = float((sims.argmax(-1) == labels).mean())
+
+    return {
+        "heads": heads,
+        "head_dim": width // heads,
+        "first_loss": round(losses[0], 4),
+        "final_loss": round(float(np.mean(losses[1:])), 4),
+        "final_clip_acc": round(float(np.mean(accs[1:])), 2),
+        "heldout_top1": round(top1, 4),
+    }
+
+
+def run(steps=200, batch=64, concepts=32, width=768, layers=6, frames=4,
+        size=96, patch=16, sigma=25.0, lr=1e-4, heads=(12, 6),
+        heldout_per_concept=4, seed=0) -> Dict:
+    import jax
+    import jax.numpy as jnp
+
+    from avion_tpu.data.tokenizer import tokenize
+    from avion_tpu.models.clip import CLIP
+
+    use_flash = jax.devices()[0].platform != "cpu"
+    rng = np.random.RandomState(seed)
+    protos, captions = synth_concepts(rng, concepts, frames, size)
+    texts = np.stack([tokenize(c) for c in captions]).astype(np.int32)
+    batches = make_batches(seed + 1, protos, texts, steps, batch, sigma)
+
+    # one init shared by every arm: the param tree is head-count
+    # independent (fused qkv), so the arms differ ONLY in the split
+    ref = CLIP(embed_dim=min(width, 512), image_size=size,
+               patch_size=patch, num_frames=frames, vision_width=width,
+               vision_layers=layers, vision_heads=heads[0],
+               text_width=min(width, 512),
+               text_heads=8 if width >= 512 else 2,
+               text_layers=min(layers, 12), use_flash=use_flash,
+               dtype=jnp.bfloat16)
+    init_params = ref.init(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((2, frames, size, size, 3), jnp.float32),
+        jnp.zeros((2, 77), jnp.int32))["params"]
+
+    arms = []
+    for h in heads:
+        assert width % h == 0, (width, h)
+        r = run_arm(h, init_params=init_params, batches=batches,
+                    protos=protos, texts=texts,
+                    heldout_per_concept=heldout_per_concept, sigma=sigma,
+                    lr=lr, width=width, layers=layers, frames=frames,
+                    size=size, patch=patch, use_flash=use_flash)
+        print(json.dumps({"arm": r}))
+        arms.append(r)
+
+    base = arms[0]
+    summary = {"metric": "headdim_ablation", "arms": arms}
+    if len(arms) > 1:
+        summary["top1_delta_vs_first"] = [
+            round(a["heldout_top1"] - base["heldout_top1"], 4)
+            for a in arms[1:]]
+        summary["loss_delta_vs_first"] = [
+            round(a["final_loss"] - base["final_loss"], 4)
+            for a in arms[1:]]
+    print(json.dumps(summary))
+    return summary
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="12x64 vs 6x128 head-split quality ablation")
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--concepts", type=int, default=32)
+    p.add_argument("--width", type=int, default=768)
+    p.add_argument("--layers", type=int, default=6)
+    p.add_argument("--frames", type=int, default=4)
+    p.add_argument("--size", type=int, default=96)
+    p.add_argument("--patch", type=int, default=16)
+    p.add_argument("--sigma", type=float, default=25.0)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--heads", type=int, nargs="+", default=[12, 6])
+    p.add_argument("--heldout", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    a = p.parse_args(argv)
+    run(steps=a.steps, batch=a.batch, concepts=a.concepts, width=a.width,
+        layers=a.layers, frames=a.frames, size=a.size, patch=a.patch,
+        sigma=a.sigma, lr=a.lr, heads=tuple(a.heads),
+        heldout_per_concept=a.heldout, seed=a.seed)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
