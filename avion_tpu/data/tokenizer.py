@@ -7,9 +7,13 @@ lowest-rank pair merging over the 16e6 merge table, ``<|startoftext|>``
 (EOT forced into the last slot).  Output is numpy int32 (the reference
 returns torch tensors; our pipeline is numpy→jax).
 
-ftfy is unavailable in this image; we approximate its mojibake fixing
-with NFC normalization + html unescape, which is a no-op for the ASCII
-narration captions the datasets contain.
+ftfy is unavailable in this image; ``_fix_text`` reimplements the
+deterministic transforms of ``ftfy.fix_text``'s default config that
+matter for caption text — UTF-8-as-cp1252 mojibake repair (iterated,
+so double-encoding heals too), auto HTML unescape, control-char
+removal, latin-ligature expansion, full/half-width folding, quote
+uncurling and NFC — pinned by golden fixtures in
+``tests/test_tokenizer.py`` against ftfy's documented outputs.
 """
 
 from __future__ import annotations
@@ -50,8 +54,79 @@ def _byte_to_unicode():
     return dict(zip(printable, (chr(c) for c in mapped)))
 
 
+# ftfy.fixes.uncurl_quotes: curly single/double quotes -> ASCII
+_SINGLE_QUOTE_RE = re.compile("[ʼ‘-‛]")
+_DOUBLE_QUOTE_RE = re.compile("[“-‟]")
+# ftfy.fixes.fix_latin_ligatures
+_LIGATURES = str.maketrans({
+    "Ĳ": "IJ", "ĳ": "ij", "ﬀ": "ff", "ﬁ": "fi",
+    "ﬂ": "fl", "ﬃ": "ffi", "ﬄ": "ffl", "ﬅ": "ft",
+    "ﬆ": "st",
+})
+
+
+def _sloppy_cp1252_bytes(text: str) -> bytes:
+    """Encode as windows-1252 with the latin-1 fallback ftfy's
+    'sloppy-windows-1252' codec uses for the five undefined bytes."""
+    out = bytearray()
+    for ch in text:
+        try:
+            out += ch.encode("cp1252")
+        except UnicodeEncodeError:
+            o = ord(ch)
+            if o > 0xFF:
+                raise
+            out.append(o)
+    return bytes(out)
+
+
+def _fix_mojibake(text: str) -> str:
+    """Iteratively undo UTF-8 bytes mis-decoded as cp1252/latin-1
+    (ftfy fix_encoding's dominant case; iteration heals double
+    mojibake).  Strict round-trip decode is the acceptance filter:
+    ordinary accented text almost never forms valid multi-byte UTF-8
+    when re-encoded, so it passes through untouched."""
+    for _ in range(3):
+        if text.isascii():
+            break
+        try:
+            fixed = _sloppy_cp1252_bytes(text).decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            break
+        if fixed == text:
+            break
+        text = fixed
+    return text
+
+
+def _fix_text(text: str) -> str:
+    """The ftfy.fix_text default pipeline, deterministic subset
+    (reference: avion/data/tokenizer.py:57-60 basic_clean)."""
+    text = _fix_mojibake(text)
+    # unescape_html='auto': only when it looks like HTML-escaped text
+    if "<" not in text and "&" in text:
+        text = html.unescape(text)
+    # remove C0/C1 control chars except whitespace ones
+    text = "".join(
+        ch for ch in text
+        if not (unicodedata.category(ch) == "Cc" and ch not in "\t\n\r\f")
+    )
+    text = text.translate(_LIGATURES)
+    # fix_character_width: NFKC on full/half-width forms only
+    if any("＀" <= ch <= "￯" or ch == "　" for ch in text):
+        text = "".join(
+            unicodedata.normalize("NFKC", ch)
+            if ("＀" <= ch <= "￯" or ch == "　") else ch
+            for ch in text
+        )
+    text = _SINGLE_QUOTE_RE.sub("'", text)
+    text = _DOUBLE_QUOTE_RE.sub('"', text)
+    return unicodedata.normalize("NFC", text)
+
+
 def _clean(text: str) -> str:
-    text = unicodedata.normalize("NFC", text)
+    # reference basic_clean: ftfy.fix_text + html.unescape twice
+    text = _fix_text(text)
     text = html.unescape(html.unescape(text))
     text = re.sub(r"\s+", " ", text)
     return text.strip()

@@ -38,9 +38,9 @@ def k_count_mask(rel: np.ndarray) -> np.ndarray:
 
 
 def _dcg(sim: np.ndarray, rel: np.ndarray, kc: np.ndarray) -> np.ndarray:
-    order = np.argsort(-sim, axis=1, kind="stable")
-    # note: reference uses argsort(sim)[:, ::-1]; ties are vanishingly
-    # rare with float similarities
+    # exact reference sort expression (evaluation_ek100mir.py:42) so tie
+    # order — and hence DCG/IDCG — is bit-identical, ties included
+    order = np.argsort(sim, axis=1)[:, ::-1]
     ranked_rel = np.take_along_axis(rel, order, axis=1) * kc
     divisors = np.log2(np.arange(rel.shape[1]) + 2)[None, :]
     return (ranked_rel / divisors).sum(axis=1)

@@ -59,6 +59,61 @@ def test_ndcg_truncates_to_k():
     )
 
 
+def _reference_ndcg(sim, rel):
+    """Literal loop transcription of the reference algorithm
+    (avion/utils/evaluation_ek100mir.py:17-150): k_counts mask, DCG via
+    argsort(sim)[:, ::-1], IDCG = DCG(rel, rel), mean of DCG/IDCG."""
+    k_counts = (np.sort(rel, axis=1)[:, ::-1] > 0).astype(int)
+
+    def dcg(s, r):
+        out = np.zeros(s.shape[0])
+        for i in range(s.shape[0]):
+            ranks = np.argsort(s[i])[::-1]
+            num = r[i][ranks] * k_counts[i]
+            out[i] = np.sum(num / np.log2(np.arange(s.shape[1]) + 2))
+        return out
+
+    return float(np.mean(dcg(sim, rel) / dcg(rel, rel)))
+
+
+def test_ndcg_tie_handling_matches_reference():
+    """VERDICT r3 #8: tied similarities must produce the same nDCG as
+    the reference's reversed-argsort — bit-identical, not just close.
+
+    The constructed case puts UNEQUAL relevancies on tied similarity
+    scores spanning the k-count cutoff, which is exactly where a
+    different tie order changes the result."""
+    sim = np.array(
+        [
+            # ties at 0.5 with relevancies 1.0 / 0.2 / 0.0 across the cutoff
+            [0.5, 0.5, 0.5, 0.9, 0.1],
+            # all-equal similarities: order is purely the tie-break
+            [0.3, 0.3, 0.3, 0.3, 0.3],
+            # tied pair inside the relevant window
+            [0.8, 0.8, 0.2, 0.1, 0.0],
+        ]
+    )
+    rel = np.array(
+        [
+            [1.0, 0.2, 0.0, 0.5, 0.0],
+            [0.0, 1.0, 0.3, 0.0, 0.7],
+            [0.4, 1.0, 0.0, 0.6, 0.0],
+        ]
+    )
+    assert calculate_ndcg(sim, rel) == _reference_ndcg(sim, rel)
+    assert calculate_ndcg(sim.T, rel.T) == _reference_ndcg(sim.T, rel.T)
+
+
+def test_ndcg_tie_handling_random_with_heavy_ties():
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        # quantized similarities -> many exact ties
+        sim = np.round(rng.rand(17, 23), 1)
+        rel = rng.choice([0.0, 0.2, 0.5, 1.0], size=(17, 23))
+        rel[rel.sum(axis=1) == 0, 0] = 1.0  # every query has a relevant
+        assert calculate_ndcg(sim, rel) == _reference_ndcg(sim, rel)
+
+
 def test_topk_accuracy():
     logits = np.array([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1], [0.2, 0.3, 0.5]])
     labels = np.array([1, 0, 0])
