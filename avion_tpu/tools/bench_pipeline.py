@@ -7,9 +7,10 @@ starvation detector the reference reads off its data_time/batch_time
 meters (``scripts/main_lavila_pretrain.py:767-797``).  The BASELINE
 target is >95% duty cycle on a TPU-VM host.
 
-Because decode is host-CPU-bound, the tool also reports the measured
-per-core decode rate and PROJECTS the duty cycle for a given host core
-count (``--host-cores``; Cloud TPU v5e-8 VMs have 112+ vCPUs, the
+``live_segment`` is the measurement core (no stdout printing — bench.py
+embeds its fields in the driver JSON line); this CLI adds the
+per-core decode probe projection for arbitrary host core counts
+(``--host-cores``; Cloud TPU v5e-8 VMs have 112+ vCPUs, the
 reference's hosts had 96 threads, ``docs/INSTALL.md:11``) so a
 single-core CI container still produces the analysis.
 
@@ -27,10 +28,15 @@ import json
 import os
 import os.path as osp
 import pickle
+import sys
 import tempfile
 import time
 
 import numpy as np
+
+
+def _log(*a):
+    print(*a, file=sys.stderr)
 
 
 def make_chunked_dataset(root: str, n_videos: int = 8, chunk_len: int = 15,
@@ -80,6 +86,171 @@ def make_chunked_dataset(root: str, n_videos: int = 8, chunk_len: int = 15,
     return meta
 
 
+def make_default_dataset(root=None, videos: int = 8, clip_length: int = 4,
+                         crop_size: int = 224):
+    """Chunked synthetic dataset + fused-decode VideoCaptionDataset."""
+    from avion_tpu.data.datasets import AugmentSpec, VideoCaptionDataset
+
+    root = root or osp.join(tempfile.gettempdir(), "avion_bench_pipe")
+    os.makedirs(root, exist_ok=True)
+    t0 = time.perf_counter()
+    meta = make_chunked_dataset(root, n_videos=videos)
+    _log(f"[setup] dataset ready in {time.perf_counter() - t0:.1f}s")
+    return VideoCaptionDataset(
+        "ego4d", root, meta, is_training=True,
+        clip_length=clip_length, chunk_len=15, fps=30, threads=1,
+        augment=AugmentSpec(crop_size=crop_size, mode="rrc"),
+    )
+
+
+def live_segment(model_name: str = "CLIP_VITB16", batch: int = 64,
+                 steps: int = 10, workers: int | None = None,
+                 clip_length: int = 4, crop_size: int = 224,
+                 ds=None, root=None, videos: int = 8,
+                 replay: bool = False, probe_decode: bool = True) -> dict:
+    """One live decode-while-stepping run: worker processes decode H.264
+    concurrently with the jitted train step; duty cycle is measured, not
+    projected.  Returns a dict of measured fields; prints only to
+    stderr (bench.py merges the fields into the driver JSON line).
+
+    Matches the reference's operational meter
+    (scripts/main_lavila_pretrain.py:767-797 data_time/batch_time).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from avion_tpu.core.config import OptimConfig
+    from avion_tpu.core.meters import StepTimer
+    from avion_tpu.core.train_state import TrainState
+    from avion_tpu.data.loader import DataLoader, device_prefetch
+    from avion_tpu.models import create_model
+    from avion_tpu.optim import build_optimizer
+    from avion_tpu.parallel import make_mesh
+    from avion_tpu.train.steps import make_clip_train_step
+
+    if workers is None:
+        workers = max(1, (os.cpu_count() or 1) - 1)
+    if ds is None:
+        ds = make_default_dataset(root, videos, clip_length, crop_size)
+
+    decode_cps_core = None
+    if probe_decode:
+        # raw single-core decode rate (the host-side bound)
+        t0 = time.perf_counter()
+        n_probe = 8
+        for i in range(n_probe):
+            ds[i % len(ds)]
+        dt_probe = (time.perf_counter() - t0) / n_probe
+        decode_cps_core = 1.0 / dt_probe
+        _log(f"[probe] fused decode: {decode_cps_core:.1f} clips/s/core "
+             f"({decode_cps_core * clip_length:.0f} frames/s/core)")
+
+    mesh = make_mesh()
+    model = create_model(model_name, num_frames=clip_length,
+                         use_grad_checkpointing=True, use_flash_attn=True)
+    rng = jax.random.PRNGKey(0)
+    video0 = jnp.zeros((2, clip_length, crop_size, crop_size, 3),
+                       jnp.bfloat16)
+    text0 = jnp.zeros((2, 77), jnp.int32)
+    params = jax.jit(model.init)(rng, video0, text0)["params"]
+    cfg = OptimConfig(optimizer="adamw", lr=4e-5, warmup_epochs=0, epochs=1,
+                      grad_clip_norm=1.0)
+    tx, _ = build_optimizer(cfg, params, niter_per_ep=100)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_clip_train_step(model, tx, crop_size=crop_size),
+                   donate_argnums=(0,))
+
+    loader = DataLoader(ds, batch, shuffle=True, drop_last=True,
+                        num_workers=workers, prefetch_depth=4,
+                        infinite=True)
+    it = device_prefetch(iter(loader), mesh, depth=2)
+
+    # warmup: compile + fill prefetch queues
+    with jax.set_mesh(mesh):
+        for _ in range(2):
+            state, m = step(state, next(it), rng)
+        float(m["loss"])
+
+        timer = StepTimer()
+        n = 0
+        marked = 0
+        t_start = time.perf_counter()
+        while n < steps:
+            t_fetch = time.perf_counter()
+            batch_data = next(it)
+            timer.data_time.update(time.perf_counter() - t_fetch)
+            state, m = step(state, batch_data, rng)
+            n += 1
+            if n % 5 == 0 or n == steps:
+                float(m["loss"])  # force the chain to the device
+                timer.mark_window(n - marked)
+                marked = n
+        loss = float(m["loss"])
+        wall = time.perf_counter() - t_start
+
+    stats = timer.stats()
+    result = {
+        "e2e_clips_per_sec": round(batch * steps / wall, 2),
+        "duty_cycle": round(stats.get("duty_cycle", 0.0), 4),
+        "data_stall_ms": round(stats.get("data_time", 0.0) * 1e3, 1),
+        "step_time_s": round(stats.get("step_time", 0.0), 4),
+        "live_batch": batch,
+        "live_steps": steps,
+        "host_cores": os.cpu_count(),
+        "loss": round(loss, 4),
+    }
+    if decode_cps_core is not None:
+        result["decode_clips_per_sec_per_core"] = round(decode_cps_core, 2)
+    _log(f"[live] {result['e2e_clips_per_sec']} clips/s e2e at duty "
+         f"{result['duty_cycle']} (stall {result['data_stall_ms']} ms/step, "
+         f"{workers} decode workers on {result['host_cores']} cores)")
+
+    loader.close()
+    if replay:
+        # pool of pre-decoded host batches (decoded once, reused):
+        # feeding the step from the pool measures host assembly +
+        # device_put + dispatch at an unbounded decode-supply rate,
+        # i.e. the duty a host with enough decode cores would reach
+        import itertools
+
+        pool_loader = DataLoader(ds, batch, shuffle=True, drop_last=True,
+                                 num_workers=workers, prefetch_depth=2,
+                                 infinite=True)
+        pool_it = iter(pool_loader)
+        pool = [next(pool_it) for _ in range(4)]
+        pool_loader.close()  # pool decoded; workers no longer needed
+        rit = device_prefetch(itertools.cycle(pool), mesh, depth=2)
+        with jax.set_mesh(mesh):
+            state, m = step(state, next(rit), rng)
+            float(m["loss"])
+            rtimer = StepTimer()  # AFTER warmup: windows time the loop only
+            n = 0
+            marked = 0
+            rt0 = time.perf_counter()
+            while n < steps:
+                t_fetch = time.perf_counter()
+                batch_data = next(rit)
+                rtimer.data_time.update(time.perf_counter() - t_fetch)
+                state, m = step(state, batch_data, rng)
+                n += 1
+                if n % 5 == 0 or n == steps:
+                    float(m["loss"])
+                    rtimer.mark_window(n - marked)
+                    marked = n
+            rwall = time.perf_counter() - rt0
+        rstats = rtimer.stats()
+        result["replay_pre_decoded"] = {
+            "clips_per_sec": round(batch * steps / rwall, 2),
+            "duty_cycle": round(rstats.get("duty_cycle", 0.0), 4),
+            "data_time_s": round(rstats.get("data_time", 0.0), 4),
+            "step_time_s": round(rstats.get("step_time", 0.0), 4),
+        }
+        _log(f"[replay] pre-decoded feed: "
+             f"{result['replay_pre_decoded']['clips_per_sec']} clips/s at "
+             f"duty cycle {result['replay_pre_decoded']['duty_cycle']}")
+    return result
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="CLIP_VITB16")
@@ -108,165 +279,55 @@ def main(argv=None):
                         "would actually achieve")
     args = p.parse_args(argv)
 
-    import jax
-    import jax.numpy as jnp
-
-    from avion_tpu.core.config import OptimConfig
-    from avion_tpu.core.meters import StepTimer
-    from avion_tpu.core.train_state import TrainState
-    from avion_tpu.data.datasets import AugmentSpec, VideoCaptionDataset
-    from avion_tpu.data.loader import DataLoader, device_prefetch
-    from avion_tpu.models import create_model
-    from avion_tpu.optim import build_optimizer
-    from avion_tpu.parallel import make_mesh
-    from avion_tpu.train.steps import make_clip_train_step
-
-    root = args.root or osp.join(tempfile.gettempdir(), "avion_bench_pipe")
-    os.makedirs(root, exist_ok=True)
-    t0 = time.perf_counter()
-    meta = make_chunked_dataset(root, n_videos=args.videos)
-    print(f"[setup] dataset ready in {time.perf_counter() - t0:.1f}s")
-
+    ds = None
     if args.sharded:
+        from avion_tpu.data.datasets import AugmentSpec
         from avion_tpu.data.shards import (
             INDEX_NAME, ShardedVideoCaptionDataset, pack_shards)
 
+        root = args.root or osp.join(tempfile.gettempdir(),
+                                     "avion_bench_pipe")
+        os.makedirs(root, exist_ok=True)
+        meta = make_chunked_dataset(root, n_videos=args.videos)
         shard_dir = osp.join(root, "_shards")
         if not osp.exists(osp.join(shard_dir, INDEX_NAME)):
             t0 = time.perf_counter()
             pack_shards("ego4d", root, meta, shard_dir, chunk_len=15,
                         fps=30, pack_fps=30, short_side=288)
-            print(f"[setup] shards packed in "
-                  f"{time.perf_counter() - t0:.1f}s")
+            _log(f"[setup] shards packed in {time.perf_counter() - t0:.1f}s")
         ds = ShardedVideoCaptionDataset(
             shard_dir, is_training=True, clip_length=args.clip_length,
             augment=AugmentSpec(crop_size=args.crop_size, mode="rrc"),
         )
-    else:
-        ds = VideoCaptionDataset(
-            "ego4d", root, meta, is_training=True,
-            clip_length=args.clip_length, chunk_len=15, fps=30, threads=1,
-            augment=AugmentSpec(crop_size=args.crop_size, mode="rrc"),
-        )
-    # measure raw single-core decode rate first (host-side bound)
-    t0 = time.perf_counter()
-    n_probe = 8
-    for i in range(n_probe):
-        ds[i % len(ds)]
-    dt_probe = (time.perf_counter() - t0) / n_probe
-    decode_cps_core = 1.0 / dt_probe
-    print(f"[probe] fused decode: {decode_cps_core:.1f} clips/s/core "
-          f"({decode_cps_core * args.clip_length:.0f} frames/s/core)")
 
-    mesh = make_mesh()
-    model = create_model(args.model, num_frames=args.clip_length,
-                         use_grad_checkpointing=True, use_flash_attn=True)
-    rng = jax.random.PRNGKey(0)
-    video0 = jnp.zeros((2, args.clip_length, args.crop_size, args.crop_size,
-                        3), jnp.bfloat16)
-    text0 = jnp.zeros((2, 77), jnp.int32)
-    params = jax.jit(model.init)(rng, video0, text0)["params"]
-    cfg = OptimConfig(optimizer="adamw", lr=4e-5, warmup_epochs=0, epochs=1,
-                      grad_clip_norm=1.0)
-    tx, _ = build_optimizer(cfg, params, niter_per_ep=100)
-    state = TrainState.create(params, tx)
-    step = jax.jit(make_clip_train_step(model, tx, crop_size=args.crop_size),
-                   donate_argnums=(0,))
+    seg = live_segment(
+        model_name=args.model, batch=args.batch, steps=args.steps,
+        workers=args.workers, clip_length=args.clip_length,
+        crop_size=args.crop_size, ds=ds, root=args.root,
+        videos=args.videos, replay=args.replay)
 
-    loader = DataLoader(ds, args.batch, shuffle=True, drop_last=True,
-                        num_workers=args.workers, prefetch_depth=4,
-                        infinite=True)
-    it = device_prefetch(iter(loader), mesh, depth=2)
-
-    # warmup: compile + fill prefetch queues
-    with jax.set_mesh(mesh):
-        for _ in range(2):
-            state, m = step(state, next(it), rng)
-        float(m["loss"])
-
-        timer = StepTimer()
-        n = 0
-        marked = 0
-        t_start = time.perf_counter()
-        while n < args.steps:
-            t_fetch = time.perf_counter()
-            batch = next(it)
-            timer.data_time.update(time.perf_counter() - t_fetch)
-            state, m = step(state, batch, rng)
-            n += 1
-            if n % 5 == 0 or n == args.steps:
-                float(m["loss"])  # force the chain to the device
-                timer.mark_window(n - marked)
-                marked = n
-        loss = float(m["loss"])
-        wall = time.perf_counter() - t_start
-    loader.close()
-
-    replay = None
-    if args.replay:
-        # pool of pre-decoded host batches (decoded once, reused):
-        # feeding the step from the pool measures host assembly +
-        # device_put + dispatch at an unbounded decode-supply rate
-        import itertools
-
-        pool_loader = DataLoader(ds, args.batch, shuffle=True,
-                                 drop_last=True, num_workers=args.workers,
-                                 prefetch_depth=2, infinite=True)
-        pool_it = iter(pool_loader)
-        pool = [next(pool_it) for _ in range(4)]
-        pool_loader.close()  # pool decoded; workers no longer needed
-        rit = device_prefetch(itertools.cycle(pool), mesh, depth=2)
-        with jax.set_mesh(mesh):
-            state, m = step(state, next(rit), rng)
-            float(m["loss"])
-            rtimer = StepTimer()  # AFTER warmup: windows time only the loop
-            n = 0
-            marked = 0
-            rt0 = time.perf_counter()
-            while n < args.steps:
-                t_fetch = time.perf_counter()
-                batch = next(rit)
-                rtimer.data_time.update(time.perf_counter() - t_fetch)
-                state, m = step(state, batch, rng)
-                n += 1
-                if n % 5 == 0 or n == args.steps:
-                    float(m["loss"])
-                    rtimer.mark_window(n - marked)
-                    marked = n
-            rwall = time.perf_counter() - rt0
-        rstats = rtimer.stats()
-        replay = {
-            "clips_per_sec": round(args.batch * args.steps / rwall, 2),
-            "duty_cycle": round(rstats.get("duty_cycle", 0.0), 4),
-            "data_time_s": round(rstats.get("data_time", 0.0), 4),
-            "step_time_s": round(rstats.get("step_time", 0.0), 4),
-        }
-        print(f"[replay] pre-decoded feed: {replay['clips_per_sec']} "
-              f"clips/s at duty cycle {replay['duty_cycle']}")
-
-    stats = timer.stats()
-    clips_per_sec = args.batch * args.steps / wall
     # projection: with C cores decoding, host supply = C * per-core rate;
     # duty cycle ~= min(1, supply / step-rate-demand)
-    demand = args.batch / max(stats.get("step_time", 1e-9), 1e-9)
-    supply = args.host_cores * decode_cps_core
+    demand = args.batch / max(seg.get("step_time_s") or 1e-9, 1e-9)
+    supply = args.host_cores * seg.get("decode_clips_per_sec_per_core", 0.0)
     projected = min(1.0, supply / max(demand, 1e-9))
     result = {
         "metric": "pipeline_clips_per_sec_e2e",
         "input_path": "sharded" if args.sharded else "chunked",
-        "value": round(clips_per_sec, 2),
+        "value": seg["e2e_clips_per_sec"],
         "unit": "clips/s/chip",
-        "duty_cycle": round(stats.get("duty_cycle", 0.0), 4),
-        "data_time_s": round(stats.get("data_time", 0.0), 4),
-        "step_time_s": round(stats.get("step_time", 0.0), 4),
-        "decode_clips_per_sec_per_core": round(decode_cps_core, 2),
-        "host_cores": os.cpu_count(),
+        "duty_cycle": seg["duty_cycle"],
+        "data_time_s": round(seg["data_stall_ms"] / 1e3, 4),
+        "step_time_s": seg["step_time_s"],
+        "decode_clips_per_sec_per_core":
+            seg.get("decode_clips_per_sec_per_core"),
+        "host_cores": seg["host_cores"],
         "projected_duty_cycle_at_cores": {
             str(args.host_cores): round(projected, 4)},
-        "loss": round(loss, 4),
+        "loss": seg["loss"],
     }
-    if replay is not None:
-        result["replay_pre_decoded"] = replay
+    if "replay_pre_decoded" in seg:
+        result["replay_pre_decoded"] = seg["replay_pre_decoded"]
     print(json.dumps(result))
     return result
 

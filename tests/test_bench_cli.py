@@ -17,7 +17,7 @@ def _load_bench():
     return m
 
 
-def test_bench_main_contract(capsys, monkeypatch):
+def test_bench_main_contract(capsys, monkeypatch, tmp_path):
     bench = _load_bench()
     calls = []
 
@@ -30,6 +30,27 @@ def test_bench_main_contract(capsys, monkeypatch):
 
     monkeypatch.setattr(bench, "bench_batch", fake_bench_batch)
 
+    # fake the live duty segment + the videomae extra row (the real
+    # ones build datasets and compile models — not for a CI smoke)
+    import avion_tpu.tools.bench_pipeline as bp
+    import avion_tpu.tools.bench_videomae as bv
+
+    def fake_live_segment(model_name="CLIP_VITB16", batch=64, steps=10,
+                          replay=False, **kw):
+        return {"e2e_clips_per_sec": 21.0, "duty_cycle": 0.105,
+                "data_stall_ms": 2713.0, "step_time_s": 0.319,
+                "live_batch": batch, "live_steps": steps, "host_cores": 1,
+                "loss": 4.1, "decode_clips_per_sec_per_core": 23.1,
+                "replay_pre_decoded": {"clips_per_sec": 180.0,
+                                       "duty_cycle": 0.91,
+                                       "data_time_s": 0.1,
+                                       "step_time_s": 1.0}}
+
+    monkeypatch.setattr(bp, "live_segment", fake_live_segment)
+    monkeypatch.setattr(bv, "bench", lambda b, model_name=None: 353.6)
+    extra_path = tmp_path / "BENCH_EXTRA.json"
+    monkeypatch.setenv("AVION_BENCH_EXTRA_PATH", str(extra_path))
+
     monkeypatch.setattr(sys, "argv", ["bench.py"])
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()
@@ -41,6 +62,22 @@ def test_bench_main_contract(capsys, monkeypatch):
     assert row["parity_metric"] == \
         "clips_per_sec_per_chip_vitb16_pretrain_b256"
     assert row["parity_value"] == 200.0
+    # the MEASURED live duty fields ride in the same driver line
+    assert row["duty_cycle"] == 0.105
+    assert row["e2e_clips_per_sec"] == 21.0
+    assert row["data_stall_ms"] == 2713.0
+    assert row["replay_duty_cycle"] == 0.91
+    # secondary rows (videomae + vitl) land in BENCH_EXTRA, not stdout
+    extra_rows = [json.loads(line)
+                  for line in extra_path.read_text().splitlines()]
+    assert extra_rows[0]["metric"] == \
+        "clips_per_sec_per_chip_videomae_vitb16_h128_b128"
+    assert extra_rows[0]["value"] == 353.6
+    assert any(r["metric"].startswith("clips_per_sec_per_chip_vitl14_h128")
+               for r in extra_rows[1:])
+    # output contract: exactly ONE json line on stdout
+    json_lines = [ln for ln in out if ln.startswith("{")]
+    assert len(json_lines) == 1
     # H128 frees the lse residual: full save_attn at b256; the parity
     # geometry at b256 uses the probed k10 policy
     assert calls[0] == (256, "save_attn", "CLIP_VITB16_H128", 1, "clip")
