@@ -101,10 +101,12 @@ class SpaceTimeBlock(nn.Module):
     act: Callable = nn.gelu
     dtype: Any = jnp.float32
     gated_timeattn: bool = False
+    ln_eps: float = 1e-6  # EgoVLP checkpoints use torch-default 1e-5
 
     @nn.compact
     def __call__(self, x, f: int, n: int):
-        ln = lambda name: nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+        ln = lambda name: nn.LayerNorm(epsilon=self.ln_eps,
+                                       dtype=jnp.float32,
                                        param_dtype=jnp.float32, name=name)
         t = DividedAttention(self.width, self.heads, self.dtype,
                              name="timeattn")(ln("norm3")(x), "time", f, n)
@@ -142,6 +144,7 @@ class SpaceTimeTransformer(nn.Module):
     act: Callable = quick_gelu
     ln_pre: bool = True  # CLIP-style
     gated_timeattn: bool = False
+    ln_eps: float = 1e-6
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -174,14 +177,14 @@ class SpaceTimeTransformer(nn.Module):
         x = jnp.concatenate(
             [jnp.broadcast_to(cls_tok, (b, 1, self.width)), x], axis=1)
         if self.ln_pre:
-            x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+            x = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
                              param_dtype=jnp.float32,
                              name="ln_pre")(x).astype(self.dtype)
         for i in range(self.layers):
             x = SpaceTimeBlock(self.width, self.heads, self.mlp_ratio,
                                self.act, self.dtype, self.gated_timeattn,
-                               name=f"blocks_{i}")(x, t, n)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                               self.ln_eps, name=f"blocks_{i}")(x, t, n)
+        x = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
                          param_dtype=jnp.float32, name="norm")(x)
         if cls_at_last:
             return x[:, 0].astype(self.dtype)
