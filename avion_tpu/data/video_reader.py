@@ -107,6 +107,13 @@ def _native_lib():
             + [ctypes.c_int]
     except AttributeError:
         pass
+    try:
+        lib.avd_write_test_video_seeded.restype = ctypes.c_int
+        lib.avd_write_test_video_seeded.argtypes = \
+            [ctypes.c_char_p] + [ctypes.c_int] * 6 + [ctypes.c_char_p] \
+            + [ctypes.c_int, ctypes.c_uint32]
+    except AttributeError:
+        pass
     _lib = lib
     return _lib
 
@@ -117,14 +124,21 @@ def native_available() -> bool:
 
 def write_test_video(path: str, n_frames: int, w: int = 64, h: int = 64,
                      fps: int = 30, gop: int = 30, bframes: int = 2,
-                     codec: str = "", noise: bool = False) -> None:
+                     codec: str = "", noise: bool = False,
+                     seed: int = 0) -> None:
     """Encode a deterministic mpeg4 test clip (B-frames + sparse
     keyframes) — fixture generator for the decoder's fast-forward and
-    keyframe walk-back paths (no H.264 encoder ships in this image)."""
+    keyframe walk-back paths.  ``seed`` varies the texture/chroma/bar
+    phase so seeded videos form visually distinct classes (learnable
+    synthetic datasets for e2e convergence runs)."""
     lib = _native_lib()
     if lib is None:
         raise DecodeError("native decode library unavailable")
-    if (codec or noise) and hasattr(lib, "avd_write_test_video_codec"):
+    if seed and hasattr(lib, "avd_write_test_video_seeded"):
+        rc = lib.avd_write_test_video_seeded(
+            path.encode(), n_frames, w, h, fps, gop, bframes,
+            codec.encode(), int(noise), seed & 0xFFFFFFFF)
+    elif (codec or noise) and hasattr(lib, "avd_write_test_video_codec"):
         rc = lib.avd_write_test_video_codec(path.encode(), n_frames, w, h,
                                             fps, gop, bframes,
                                             codec.encode(), int(noise))

@@ -63,7 +63,12 @@ def make_batches(seed: int, protos: np.ndarray, texts: np.ndarray,
     rng = np.random.RandomState(seed)
     out = []
     for _ in range(steps):
-        idx = rng.randint(0, len(protos), batch)
+        if batch <= len(protos):
+            # without replacement: duplicate captions in a batch are
+            # false negatives under InfoNCE and cap clip_acc
+            idx = rng.choice(len(protos), batch, replace=False)
+        else:
+            idx = rng.randint(0, len(protos), batch)
         video = np.stack([noisy_clip(rng, protos[i], sigma) for i in idx])
         out.append({"video": video, "text": texts[idx]})
     return out
@@ -126,31 +131,38 @@ def run_arm(heads: int, *, init_params, batches, protos, texts,
     )
 
     @jax.jit
-    def encode(params, video, text):
+    def encode_video(params, video):
         # same normalization the train step applies (steps.prep_video)
-        v = model.apply({"params": params},
-                        normalize_video(jnp.asarray(video), OPENAI_MEAN,
-                                        OPENAI_STD, jnp.bfloat16),
-                        method=model.encode_image)
-        t = model.apply({"params": params}, jnp.asarray(text),
-                        method=model.encode_text)
-        return v, t
+        return model.apply({"params": params},
+                           normalize_video(jnp.asarray(video), OPENAI_MEAN,
+                                           OPENAI_STD, jnp.bfloat16),
+                           method=model.encode_image)
 
-    vecs, tvecs = [], None
+    @jax.jit
+    def encode_text(params, text):
+        return model.apply({"params": params}, jnp.asarray(text),
+                           method=model.encode_text)
+
+    # texts encoded ONCE; only the video side is batched over the loop
+    tvecs = np.asarray(encode_text(state.params, texts), np.float32)
+    vecs = []
     bs = max(1, len(batches[0]["video"]))
     for i in range(0, len(eval_videos), bs):
-        v, t = encode(state.params, eval_videos[i:i + bs], texts)
+        v = encode_video(state.params, eval_videos[i:i + bs])
         vecs.append(np.asarray(v, np.float32))
-        tvecs = np.asarray(t, np.float32)
     sims = np.concatenate(vecs) @ tvecs.T
     top1 = float((sims.argmax(-1) == labels).mean())
 
+    # tail-window mean; at steps=1 only the step-0 sample exists, so
+    # fall back to it instead of np.mean([]) (NaN + invalid JSON)
+    tail_losses = losses[1:] if len(losses) > 1 else losses[-1:]
+    tail_accs = accs[1:] if len(accs) > 1 else accs[-1:]
     return {
         "heads": heads,
         "head_dim": width // heads,
         "first_loss": round(losses[0], 4),
-        "final_loss": round(float(np.mean(losses[1:])), 4),
-        "final_clip_acc": round(float(np.mean(accs[1:])), 2),
+        "final_loss": round(float(np.mean(tail_losses)), 4),
+        "final_clip_acc": round(float(np.mean(tail_accs)), 2),
         "heldout_top1": round(top1, 4),
     }
 

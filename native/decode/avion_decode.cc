@@ -390,9 +390,10 @@ void avd_close(void* h) {
 // sparse-keyframe content.  Frames are deterministic: frame i has a
 // vertical bar at x = (i * 7) % w over a per-frame flat gray level, so
 // frames are visually distinct and re-identifiable after lossy coding.
-int avd_write_test_video_codec(const char* path, int n_frames, int w, int h,
-                               int fps, int gop, int bframes,
-                               const char* codec_name, int noise) {
+static int write_test_video_impl(const char* path, int n_frames, int w,
+                                 int h, int fps, int gop, int bframes,
+                                 const char* codec_name, int noise,
+                                 uint32_t seed) {
   const AVCodec* enc = codec_name && codec_name[0]
                            ? avcodec_find_encoder_by_name(codec_name)
                            : avcodec_find_encoder(AV_CODEC_ID_MPEG4);
@@ -454,13 +455,18 @@ int avd_write_test_video_codec(const char* path, int n_frames, int w, int h,
   std::vector<uint8_t> tex;
   if (noise) {
     tex.resize((size_t)(w + 256) * h);
-    uint32_t st = 12345;
+    uint32_t st = seed ? seed : 12345;
     for (auto& b : tex) { st = st * 1664525u + 1013904223u; b = st >> 24; }
   }
+  // per-seed chroma + bar phase so seeded videos are visually distinct
+  // classes (learnable synthetic datasets for e2e convergence runs)
+  uint8_t u_val = seed ? (uint8_t)(64 + (seed * 37u) % 128) : 128;
+  uint8_t v_val = seed ? (uint8_t)(64 + (seed * 73u) % 128) : 128;
+  int bar_phase = seed ? (int)(seed % (uint32_t)w) : 0;
   for (int i = 0; i < n_frames; i++) {
     av_frame_make_writable(f);
     uint8_t lum = (uint8_t)(40 + (i * 13) % 160);
-    int bar = (i * 7) % w;
+    int bar = (bar_phase + i * 7) % w;
     for (int y = 0; y < h; y++) {
       if (noise) {
         const uint8_t* src = tex.data() + (size_t)y * (w + 256) + (i % 256);
@@ -473,8 +479,8 @@ int avd_write_test_video_codec(const char* path, int n_frames, int w, int h,
       for (int x = bar; x < std::min(w, bar + 8); x++)
         f->data[0][y * f->linesize[0] + x] = 235;
     }
-    memset(f->data[1], 128, (size_t)f->linesize[1] * h / 2);
-    memset(f->data[2], 128, (size_t)f->linesize[2] * h / 2);
+    memset(f->data[1], u_val, (size_t)f->linesize[1] * h / 2);
+    memset(f->data[2], v_val, (size_t)f->linesize[2] * h / 2);
     f->pts = i;
     flush_enc(f);
   }
@@ -488,10 +494,25 @@ int avd_write_test_video_codec(const char* path, int n_frames, int w, int h,
   return 0;
 }
 
+int avd_write_test_video_codec(const char* path, int n_frames, int w, int h,
+                               int fps, int gop, int bframes,
+                               const char* codec_name, int noise) {
+  return write_test_video_impl(path, n_frames, w, h, fps, gop, bframes,
+                               codec_name, noise, 0);
+}
+
+int avd_write_test_video_seeded(const char* path, int n_frames, int w, int h,
+                                int fps, int gop, int bframes,
+                                const char* codec_name, int noise,
+                                uint32_t seed) {
+  return write_test_video_impl(path, n_frames, w, h, fps, gop, bframes,
+                               codec_name, noise, seed);
+}
+
 int avd_write_test_video(const char* path, int n_frames, int w, int h,
                          int fps, int gop, int bframes) {
-  return avd_write_test_video_codec(path, n_frames, w, h, fps, gop,
-                                    bframes, nullptr, 0);
+  return write_test_video_impl(path, n_frames, w, h, fps, gop, bframes,
+                               nullptr, 0, 0);
 }
 
 }  // extern "C"

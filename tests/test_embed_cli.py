@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the quick CI tier
+
 torch = pytest.importorskip("torch")
 cv2 = pytest.importorskip("cv2")
 

@@ -10,6 +10,8 @@ import pickle
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the quick CI tier
+
 cv2 = pytest.importorskip("cv2")
 
 FPS = 10

@@ -6,6 +6,8 @@ import pytest
 from avion_tpu.ops.attention import xla_attention
 from avion_tpu.ops.flash_attention import flash_attention
 
+pytestmark = pytest.mark.slow  # excluded from the quick CI tier
+
 
 def _mk(rng, b=2, s=200, h=3, d=64, dtype=jnp.float32):
     k1, k2, k3 = jax.random.split(rng, 3)

@@ -10,6 +10,8 @@ from avion_tpu.ops.fused_input import (
     crop_resize_flip_normalize,
 )
 
+pytestmark = pytest.mark.slow  # excluded from the quick CI tier
+
 
 def _ref_resize(img, crop, out_w, out_h):
     cv2 = pytest.importorskip("cv2")

@@ -24,6 +24,8 @@ from avion_tpu.train.steps import (
     make_clip_train_step,
 )
 
+pytestmark = pytest.mark.slow  # excluded from the quick CI tier
+
 
 def _build(loss_type):
     model = CLIP(

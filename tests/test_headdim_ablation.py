@@ -5,6 +5,9 @@ init params on shared batches, and the harness reports the delta."""
 import numpy as np
 
 from avion_tpu.tools.headdim_ablation import run, synth_concepts
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the quick CI tier
 
 
 def test_synth_concepts_shapes():

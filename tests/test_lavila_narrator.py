@@ -17,6 +17,8 @@ from avion_tpu.models.lavila import LavilaNarrator  # noqa: E402
 from avion_tpu.models.lavila_import import import_lavila_narrator_pt  # noqa: E402
 from avion_tpu.models.pt_import import merge_into_params  # noqa: E402
 
+pytestmark = pytest.mark.slow  # excluded from the quick CI tier
+
 # tiny narrator dims
 VW, VL, VH = 48, 2, 2        # vision width/layers/heads
 TW, TL, TH = 32, 3, 2        # decoder width/layers/heads

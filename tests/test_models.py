@@ -6,6 +6,8 @@ import pytest
 from avion_tpu.models import create_model, list_models
 from avion_tpu.models.videomae import PretrainVideoMAE
 
+pytestmark = pytest.mark.slow  # excluded from the quick CI tier
+
 
 def test_registry_lists_families():
     names = list_models()

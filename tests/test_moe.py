@@ -7,6 +7,9 @@ import numpy as np
 
 from avion_tpu.ops.moe import MoEMlp, moe_dispatch_masks
 from avion_tpu.parallel import make_mesh, shard_params
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the quick CI tier
 
 
 def test_dispatch_masks_exact_routing():

@@ -10,6 +10,8 @@ from avion_tpu.models.narrator import (
     nucleus_sample_step,
 )
 
+pytestmark = pytest.mark.slow  # excluded from the quick CI tier
+
 
 @pytest.fixture(scope="module")
 def tiny_vclm():

@@ -6,6 +6,9 @@ milestone of the build plan (SURVEY §7 step 3).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the quick CI tier
 
 
 def test_clip_step_overfits_fixed_batch(mesh_dp):

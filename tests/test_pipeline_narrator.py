@@ -18,6 +18,8 @@ from avion_tpu.parallel.pipeline import adapt_stacked_layouts
 from avion_tpu.parallel.pipeline_gated import (stack_gated_params,
                                                unstack_gated_params)
 
+pytestmark = pytest.mark.slow  # excluded from the quick CI tier
+
 VCLM_KW = dict(
     vocab_size=64, context_length=12, width=32, layers=4, heads=2,
     cross_every=2, image_size=16, patch_size=8, num_frames=2,

@@ -16,6 +16,8 @@ from avion_tpu.parallel.pipeline import (PipelinedTransformer,
                                          stack_block_params,
                                          unstack_block_params)
 
+pytestmark = pytest.mark.slow  # excluded from the quick CI tier
+
 WIDTH, LAYERS, HEADS = 64, 4, 2
 
 

@@ -8,6 +8,8 @@ from avion_tpu.ops.attention import xla_attention
 from avion_tpu.ops.ring_attention import ring_attention, sequence_parallel_attention
 from avion_tpu.parallel.mesh import make_mesh
 
+pytestmark = pytest.mark.slow  # excluded from the quick CI tier
+
 
 @pytest.fixture(scope="module")
 def sp_mesh():

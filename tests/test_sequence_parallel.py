@@ -11,6 +11,8 @@ import pytest
 from avion_tpu.models.vit import VisionTransformer
 from avion_tpu.parallel import make_mesh
 
+pytestmark = pytest.mark.slow  # excluded from the quick CI tier
+
 
 @pytest.fixture(scope="module")
 def mesh_sp():

@@ -13,6 +13,8 @@ import pytest
 
 from avion_tpu.losses import siglip_loss, siglip_loss_chunked
 
+pytestmark = pytest.mark.slow  # excluded from the quick CI tier
+
 
 def _embeds(key, b, d=16):
     k1, k2 = jax.random.split(key)

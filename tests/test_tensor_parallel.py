@@ -14,6 +14,8 @@ from avion_tpu.parallel import make_mesh, shard_params
 from avion_tpu.parallel.sharding import make_global_batch
 from avion_tpu.train.steps import make_clip_train_step
 
+pytestmark = pytest.mark.slow  # excluded from the quick CI tier
+
 
 def _setup():
     model = CLIP(

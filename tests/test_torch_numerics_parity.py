@@ -21,6 +21,8 @@ from avion_tpu.models.clip import CLIP
 from avion_tpu.tools.convert_checkpoint import export_clip_to_pt
 from avion_tpu.models.pt_import import load_pt_state_dict
 
+pytestmark = pytest.mark.slow  # excluded from the quick CI tier
+
 VW, VL, VH = 32, 2, 2
 TW, TL, TH = 16, 1, 2
 EMB, CTX, VOCAB = 16, 8, 64

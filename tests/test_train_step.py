@@ -11,6 +11,8 @@ from avion_tpu.parallel import shard_params, replicated
 from avion_tpu.parallel.sharding import make_global_batch
 from avion_tpu.train.steps import make_clip_train_step, LOGIT_SCALE_MAX
 
+pytestmark = pytest.mark.slow  # excluded from the quick CI tier
+
 
 @pytest.fixture(scope="module")
 def tiny_setup():

@@ -8,6 +8,8 @@ import os.path as osp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the quick CI tier
+
 cv2 = pytest.importorskip("cv2")
 
 
