@@ -1,0 +1,351 @@
+"""One live end-to-end convergence run on the real chip.
+
+Proof that the ASSEMBLED system trains on hardware: generates a
+learnable synthetic x264 chunked dataset (seeded per-class video
+content, distinct captions), runs ``train/pretrain_clip.py`` — the
+real entry, real fused-decode loader with worker processes, shm
+transport and device prefetch — through a mid-run SIGTERM preemption
+(checkpoint + clean exit, ``parallel/launch.py``) and an auto-resumed
+second launch to completion, then restores the final checkpoint and
+runs a held-out zero-shot retrieval sweep.  The log (descending loss,
+rising clip_acc, measured duty cycle, resume step) is summarized into
+``docs/E2E.md``.
+
+Mirrors the reference's operational loop: train -> preempt/requeue
+(``run_with_submit_lavila_pretrain.py:53-59``) -> resume
+(``main_lavila_pretrain.py:386-403``) -> zero-shot validation.
+
+Usage (real chip; ~20-30 min on a 1-core CI host, decode-bound)::
+
+    python -m avion_tpu.tools.e2e_convergence \
+        [--classes 32] [--windows 64] [--batch 32] [--epochs 6]
+        [--out /tmp/avion_e2e] [--report docs/E2E.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import os.path as osp
+import pickle
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+_NOUNS = [
+    "knife", "drawer", "kettle", "sponge", "ladder", "wrench", "bottle",
+    "carrot", "mirror", "pencil", "bucket", "window", "garlic", "hammer",
+    "teapot", "folder", "sheets", "candle", "pillow", "shovel", "magnet",
+    "basket", "helmet", "napkin", "button", "litter", "violin", "barrel",
+    "gloves", "lentil", "switch", "strap",
+]
+_VERBS = ["picks up", "washes", "opens", "closes", "cuts", "stirs",
+          "wipes", "folds"]
+
+
+def caption_for(cls: int) -> str:
+    noun = _NOUNS[cls % len(_NOUNS)]
+    verb = _VERBS[(cls // len(_NOUNS)) % len(_VERBS)]
+    return f"#C C {verb} the {noun} number {cls}"
+
+
+def make_class_dataset(root: str, n_classes: int, windows_per_class: int,
+                       chunk_len: int = 15, fps: int = 30,
+                       w: int = 456, h: int = 256):
+    """Seeded x264 videos (one 15-sec chunk per class, visually distinct
+    texture/chroma) + train metadata pkl + held-out window list."""
+    from avion_tpu.data.video_reader import write_test_video
+
+    os.makedirs(root, exist_ok=True)
+    train, heldout = [], []
+    rs = np.random.RandomState(0)
+    for c in range(n_classes):
+        vid = f"cls{c:03d}"
+        d = osp.join(root, f"{vid}.mp4")
+        os.makedirs(d, exist_ok=True)
+        path = osp.join(d, "0.mp4")
+        if not osp.exists(path):
+            write_test_video(path, chunk_len * fps, w=w, h=h, fps=fps,
+                             gop=250, bframes=3, codec="libx264",
+                             noise=True, seed=1000 + 7919 * c)
+        cap = caption_for(c)
+        for _ in range(windows_per_class):
+            st = float(rs.uniform(0.2, chunk_len - 2.2))
+            train.append((vid, st, st + 2.0, cap))
+        for k in range(4):  # held-out eval windows (fixed offsets)
+            st = 0.5 + k * 3.0
+            heldout.append((vid, st, st + 2.0, c))
+    meta = osp.join(root, "train.pkl")
+    with open(meta, "wb") as f:
+        pickle.dump(train, f)
+    with open(osp.join(root, "heldout.json"), "w") as f:
+        json.dump(heldout, f)
+    return meta
+
+
+def launch_training(root, meta, out_dir, *, model, batch, epochs, workers,
+                    lr, log_path, preempt_after_steps=None,
+                    timeout_s=3600, extra=()):
+    """Run the real pretrain entry as a subprocess; optionally SIGTERM
+    it once log.jsonl shows >= preempt_after_steps train steps."""
+    cmd = [
+        sys.executable, "-m", "avion_tpu.train.pretrain_clip",
+        f"model.name={model}", "data.dataset=ego4d",
+        f"data.root={root}", f"data.train_metadata={meta}",
+        f"data.batch_size={batch}", f"data.num_workers={workers}",
+        "data.clip_length=4", "data.crop_size=224",
+        f"optim.epochs={epochs}", f"optim.lr={lr}",
+        "optim.warmup_epochs=0.5", "eval_freq=0", "save_freq=1",
+        "print_freq=10", f"output_dir={out_dir}", *extra,
+    ]
+    logf = open(log_path, "ab")
+    proc = subprocess.Popen(cmd, stdout=logf, stderr=subprocess.STDOUT,
+                            cwd=osp.dirname(osp.dirname(osp.dirname(
+                                osp.abspath(__file__)))))
+    jsonl = osp.join(out_dir, "log.jsonl")
+    t0 = time.monotonic()
+    sent = False
+    while proc.poll() is None:
+        time.sleep(1)
+        if time.monotonic() - t0 > timeout_s:
+            proc.terminate()
+            raise RuntimeError("training subprocess timed out")
+        if preempt_after_steps and not sent:
+            step = _last_step(jsonl)
+            if step >= preempt_after_steps:
+                print(f"[e2e] sending SIGTERM at step {step} "
+                      "(preemption drill)", file=sys.stderr)
+                proc.send_signal(signal.SIGTERM)
+                sent = True
+    logf.close()
+    if preempt_after_steps and not sent:
+        raise RuntimeError(
+            "run finished before the preemption point — raise epochs "
+            "or lower --preempt-step")
+    return proc.returncode
+
+
+def _last_step(jsonl):
+    step = 0
+    if osp.exists(jsonl):
+        with open(jsonl) as f:
+            for line in f:
+                try:
+                    row = json.loads(line)
+                    step = max(step, int(row.get("step", 0)))
+                except Exception:
+                    pass
+    return step
+
+
+def read_log(out_dir):
+    rows = []
+    with open(osp.join(out_dir, "log.jsonl")) as f:
+        for line in f:
+            try:
+                rows.append(json.loads(line))
+            except Exception:
+                pass
+    # normalize logger namespacing (train/loss, train/clip_acc, step)
+    out = []
+    for r in rows:
+        if "train/loss" not in r:
+            continue
+        out.append({"step": r.get("step"), "loss": r["train/loss"],
+                    "clip_acc": r.get("train/clip_acc", float("nan")),
+                    **{k: v for k, v in r.items()
+                       if k.startswith("perf/")}})
+    return out
+
+
+def zero_shot_sweep(root, out_dir, *, model_name, batch, n_classes,
+                    extra=()):
+    """Restore the final checkpoint and run held-out retrieval: encode
+    4 fresh windows per class, classify over the K class captions."""
+    import jax
+    import jax.numpy as jnp
+
+    from avion_tpu.core.checkpoint import Checkpointer
+    from avion_tpu.core.config import TrainConfig
+    from avion_tpu.core.train_state import TrainState
+    from avion_tpu.data.sampling import get_frame_ids
+    from avion_tpu.data.tokenizer import tokenize
+    from avion_tpu.data.transforms import center_crop_spec, normalize_video
+    from avion_tpu.data.video_reader import VideoReader
+    from avion_tpu.train.pretrain_clip import build_model_and_state
+
+    # rebuild the model EXACTLY as the entry did: the run's saved
+    # config (the reference embeds args in the checkpoint the same way,
+    # main_lavila_finetune_cls.py:278)
+    cfg_path = osp.join(out_dir, "config.json")
+    if osp.exists(cfg_path):
+        cfg = TrainConfig.from_dict(json.load(open(cfg_path)))
+    else:
+        cfg = TrainConfig()
+        cfg.model.name = model_name
+        for ov in extra:
+            if ov.split("=")[0].startswith(("model.", "data.")):
+                cfg.apply_overrides([ov])
+    crop_size = cfg.data.crop_size
+    clip_length = cfg.data.clip_length
+    model, params, tx = build_model_and_state(cfg, niter_per_ep=10)
+    template = TrainState.create(params, tx)
+    ckpt = Checkpointer(osp.join(out_dir, "ckpt"))
+    state, _ = ckpt.restore(template)
+    assert state is not None, "no checkpoint found"
+    step = int(state.step)
+    params = jax.device_get(state.params)
+    ckpt.close()
+
+    heldout = json.load(open(osp.join(root, "heldout.json")))
+    captions = [caption_for(c) for c in range(n_classes)]
+    toks = np.stack([tokenize(c) for c in captions]).astype(np.int32)
+
+    @jax.jit
+    def encode_text(params, text):
+        return model.apply({"params": params}, text,
+                           method=model.encode_text)
+
+    @jax.jit
+    def encode_video(params, video):
+        v = normalize_video(video, dtype=model.dtype)
+        return model.apply({"params": params}, v,
+                           method=model.encode_image)
+
+    tvecs = np.asarray(encode_text(params, toks), np.float32)
+
+    clips, labels = [], []
+    for vid, st, en, c in heldout:
+        vr = VideoReader(osp.join(root, f"{vid}.mp4", "0.mp4"))
+        fps = vr.get_avg_fps() or 30.0
+        ids = get_frame_ids(int(st * fps), min(int(en * fps), len(vr)),
+                            num_segments=clip_length, jitter=False)
+        crop = center_crop_spec(vr.width, vr.height)
+        clips.append(vr.get_batch(ids, crop, (crop_size, crop_size)))
+        labels.append(c)
+    clips = np.stack(clips)
+    labels = np.asarray(labels)
+    vecs = []
+    for i in range(0, len(clips), batch):
+        chunk = clips[i : i + batch]
+        pad = batch - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+        v = np.asarray(encode_video(params, chunk), np.float32)
+        vecs.append(v[: len(v) - pad] if pad else v)
+    sims = np.concatenate(vecs) @ tvecs.T
+    order = np.argsort(-sims, axis=1)
+    top1 = float((order[:, 0] == labels).mean())
+    top5 = float((order[:, :5] == labels[:, None]).any(1).mean())
+    return {"ckpt_step": step, "heldout_clips": len(labels),
+            "zeroshot_top1": round(top1, 4), "zeroshot_top5": round(top5, 4)}
+
+
+def write_report(path, *, cfg, rows, resume_step, zs, wall_s):
+    first = rows[: max(1, len(rows) // 10)]
+    last = rows[-max(1, len(rows) // 10):]
+    mean = lambda rs, k: float(np.mean([r[k] for r in rs if k in r]))
+    duty = [r["perf/duty_cycle"] for r in rows if "perf/duty_cycle" in r]
+    curve = rows[:: max(1, len(rows) // 16)]
+    lines = [
+        "# E2E convergence run (real chip, live loader)",
+        "",
+        "Produced by `python -m avion_tpu.tools.e2e_convergence` — the",
+        "real `train/pretrain_clip.py` entry on synthetic seeded-x264",
+        "chunked video, decoded live by worker processes, with a",
+        "mid-run SIGTERM preemption + auto-resume, and a final",
+        "held-out zero-shot sweep from the restored checkpoint.",
+        "",
+        f"- config: `{json.dumps(cfg)}`",
+        f"- total wall time: {wall_s:.0f}s (1-core CI host; decode-bound)",
+        f"- steps logged: {len(rows)} (resume at step {resume_step})",
+        f"- loss: first-10% mean {mean(first, 'loss'):.4f} -> "
+        f"last-10% mean {mean(last, 'loss'):.4f}",
+        f"- clip_acc: {mean(first, 'clip_acc'):.2f} -> "
+        f"{mean(last, 'clip_acc'):.2f}",
+        f"- measured duty cycle (window median {np.median(duty):.3f}, "
+        f"min {min(duty):.3f}, max {max(duty):.3f} over {len(duty)} "
+        f"print windows)" if duty else "- duty cycle: n/a",
+        f"- zero-shot held-out retrieval: top-1 {zs['zeroshot_top1']}, "
+        f"top-5 {zs['zeroshot_top5']} over {zs['heldout_clips']} clips "
+        f"(ckpt step {zs['ckpt_step']})",
+        "",
+        "## loss curve (sampled)",
+        "",
+        "| step | loss | clip_acc |",
+        "|---|---|---|",
+    ]
+    for r in curve:
+        lines.append(f"| {r.get('step', '?')} | {r['loss']:.4f} | "
+                     f"{r.get('clip_acc', float('nan')):.2f} |")
+    lines.append("")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--classes", type=int, default=32)
+    p.add_argument("--windows", type=int, default=64)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--epochs", type=int, default=6)
+    p.add_argument("--model", default="CLIP_VITB16_H128")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--workers", type=int,
+                   default=max(1, (os.cpu_count() or 1) - 1))
+    p.add_argument("--preempt-step", type=int, default=150,
+                   help="send SIGTERM once this step is logged")
+    p.add_argument("--out", default="/tmp/avion_e2e")
+    p.add_argument("--report", default="docs/E2E.md")
+    p.add_argument("--extra", nargs="*", default=[],
+                   help="extra section.key=value overrides for the entry")
+    args = p.parse_args(argv)
+
+    t0 = time.monotonic()
+    root = osp.join(args.out, "data")
+    run_dir = osp.join(args.out, "run")
+    os.makedirs(run_dir, exist_ok=True)
+    ts = time.monotonic()
+    meta = make_class_dataset(root, args.classes, args.windows)
+    print(f"[e2e] dataset ready in {time.monotonic() - ts:.0f}s",
+          file=sys.stderr)
+
+    log_path = osp.join(args.out, "train_stdout.log")
+    common = dict(model=args.model, batch=args.batch, epochs=args.epochs,
+                  workers=args.workers, lr=args.lr, log_path=log_path,
+                  extra=tuple(args.extra))
+    # phase A: train until the preemption drill fires
+    rc = launch_training(root, meta, run_dir,
+                         preempt_after_steps=args.preempt_step, **common)
+    print(f"[e2e] phase A (preempted) rc={rc}", file=sys.stderr)
+    resume_step = _last_step(osp.join(run_dir, "log.jsonl"))
+    # phase B: same command line — auto-resume to completion
+    rc = launch_training(root, meta, run_dir, **common)
+    if rc != 0:
+        raise RuntimeError(f"phase B failed rc={rc}; see {log_path}")
+    print(f"[e2e] phase B (resumed from ~step {resume_step}) rc={rc}",
+          file=sys.stderr)
+
+    rows = read_log(run_dir)
+    zs = zero_shot_sweep(root, run_dir, model_name=args.model,
+                         batch=args.batch, n_classes=args.classes,
+                         extra=tuple(args.extra))
+    cfg = {"model": args.model, "classes": args.classes,
+           "windows_per_class": args.windows, "batch": args.batch,
+           "epochs": args.epochs, "lr": args.lr, "workers": args.workers,
+           "preempt_step": args.preempt_step}
+    write_report(args.report, cfg=cfg, rows=rows, resume_step=resume_step,
+                 zs=zs, wall_s=time.monotonic() - t0)
+    summary = {"metric": "e2e_convergence", **cfg,
+               "steps_logged": len(rows), "resume_step": resume_step,
+               "final_loss": rows[-1]["loss"] if rows else None, **zs}
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

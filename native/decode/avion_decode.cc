@@ -303,12 +303,18 @@ int avd_get_batch(void* h, const int64_t* indices, int n, float cx, float cy,
   // far ahead of the decode position, tell the decoder to skip
   // non-reference frames (typically B-frames — x264-default chunk
   // re-encodes carry 3 of them).  Safety margin: packets are sent in
-  // decode order, which leads presentation order by at most
-  // video_delay frames, so with the gap threshold video_delay+2 a
-  // wanted frame's packet is always sent with skipping OFF.
-  const int delay = std::max(r->codec->has_b_frames,
-                             (int)r->codec->delay);
-  const int skip_gap = delay + 2;
+  // decode order, which leads presentation order by at most the
+  // reorder depth, and FRAME THREADING pipelines thread_count-1 more
+  // frames between send and receive, so last_decoded_idx lags the send
+  // position by up to reorder+threads-1 — the gap threshold must cover
+  // both or a wanted non-ref frame's packet is sent with skipping ON
+  // and silently dropped (seen as "decoded k/n wanted frames" at
+  // decode_threads=4 on gop-250 streams).
+  const int reorder = std::max(r->codec->has_b_frames,
+                               (int)r->codec->delay);
+  const int thread_lag =
+      r->codec->thread_count > 1 ? r->codec->thread_count - 1 : 0;
+  const int skip_gap = reorder + thread_lag + 2;
   auto next_wanted_idx = [&]() -> int64_t {
     for (size_t i = 0; i < uniq.size(); i++)
       if (!found_mask[i]) return uniq[i];
@@ -316,51 +322,64 @@ int avd_get_batch(void* h, const int64_t* indices, int n, float cx, float cy,
   };
 
   // decode forward until all wanted frames are emitted
-  bool draining = false;
-  while (found < uniq.size()) {
-    if (!draining) {
-      int ret = av_read_frame(r->fmt, pkt);
-      if (ret < 0) {
-        avcodec_send_packet(r->codec, nullptr);  // enter drain mode
-        draining = true;
-      } else {
-        if (pkt->stream_index != r->stream_idx) {
+  auto run_pass = [&](bool allow_skip) {
+    bool draining = false;
+    while (found < uniq.size()) {
+      if (!draining) {
+        int ret = av_read_frame(r->fmt, pkt);
+        if (ret < 0) {
+          avcodec_send_packet(r->codec, nullptr);  // enter drain mode
+          draining = true;
+        } else {
+          if (pkt->stream_index != r->stream_idx) {
+            av_packet_unref(pkt);
+            continue;
+          }
+          r->codec->skip_frame =
+              (allow_skip && r->last_decoded_idx >= 0 &&
+               next_wanted_idx() - r->last_decoded_idx > skip_gap)
+                  ? AVDISCARD_NONREF
+                  : AVDISCARD_DEFAULT;
+          avcodec_send_packet(r->codec, pkt);
           av_packet_unref(pkt);
-          continue;
         }
-        r->codec->skip_frame =
-            (r->last_decoded_idx >= 0 &&
-             next_wanted_idx() - r->last_decoded_idx > skip_gap)
-                ? AVDISCARD_NONREF
-                : AVDISCARD_DEFAULT;
-        avcodec_send_packet(r->codec, pkt);
-        av_packet_unref(pkt);
       }
+      int ret;
+      while ((ret = avcodec_receive_frame(r->codec, frame)) >= 0) {
+        int64_t pts = frame->best_effort_timestamp != AV_NOPTS_VALUE
+                          ? frame->best_effort_timestamp
+                          : frame->pts;
+        r->last_decoded_pts = pts;
+        {
+          auto pit = std::lower_bound(
+              r->index.begin(), r->index.end(), pts,
+              [](const FrameIndex& a, int64_t v) { return a.pts < v; });
+          if (pit != r->index.end() && pit->pts == pts)
+            r->last_decoded_idx = pit - r->index.begin();
+        }
+        auto it = std::lower_bound(wanted_pts.begin(), wanted_pts.end(), pts);
+        if (it != wanted_pts.end() && *it == pts &&
+            !found_mask[it - wanted_pts.begin()]) {
+          emit(frame, (size_t)(it - wanted_pts.begin()));
+          found_mask[it - wanted_pts.begin()] = 1;
+          found++;
+        }
+        av_frame_unref(frame);
+        if (found == uniq.size()) break;
+      }
+      if (draining && ret == AVERROR_EOF) break;
     }
-    int ret;
-    while ((ret = avcodec_receive_frame(r->codec, frame)) >= 0) {
-      int64_t pts = frame->best_effort_timestamp != AV_NOPTS_VALUE
-                        ? frame->best_effort_timestamp
-                        : frame->pts;
-      r->last_decoded_pts = pts;
-      {
-        auto pit = std::lower_bound(
-            r->index.begin(), r->index.end(), pts,
-            [](const FrameIndex& a, int64_t v) { return a.pts < v; });
-        if (pit != r->index.end() && pit->pts == pts)
-          r->last_decoded_idx = pit - r->index.begin();
-      }
-      auto it = std::lower_bound(wanted_pts.begin(), wanted_pts.end(), pts);
-      if (it != wanted_pts.end() && *it == pts &&
-          !found_mask[it - wanted_pts.begin()]) {
-        emit(frame, (size_t)(it - wanted_pts.begin()));
-        found_mask[it - wanted_pts.begin()] = 1;
-        found++;
-      }
-      av_frame_unref(frame);
-      if (found == uniq.size()) break;
-    }
-    if (draining && ret == AVERROR_EOF) break;
+  };
+  run_pass(true);
+  if (found < uniq.size()) {
+    // rescue: the fast-forward margin is a heuristic (codecs may not
+    // report their full pipeline depth) — redo the missing frames
+    // exactly, from the keyframe, with skipping off
+    av_seek_frame(r->fmt, r->stream_idx, seek_pts, AVSEEK_FLAG_BACKWARD);
+    avcodec_flush_buffers(r->codec);
+    r->last_decoded_pts = INT64_MIN;
+    r->last_decoded_idx = -1;
+    run_pass(false);
   }
 
   r->codec->skip_frame = AVDISCARD_DEFAULT;

@@ -186,3 +186,37 @@ def test_fast_profile_pixel_fidelity_and_frame_identity(bframe_video):
         # deblocking-off artifacts are small on average
         diff = np.abs(a[k].astype(np.float32) - b[k].astype(np.float32))
         assert diff.mean() < 4.0, (i, diff.mean())
+
+
+def test_threaded_fast_forward_finds_all_frames(tmp_path):
+    """Regression: with FRAME THREADING (num_threads=4) the NONREF
+    fast-forward margin must account for the thread pipeline lag, or
+    wanted B-frames get skipped and get_batch fails with
+    'decoded k/n wanted frames' (seen on x264 gop-250 b_strategy-0
+    streams at the production default decode_threads=4).  The rescue
+    pass additionally guarantees exactness even when a codec
+    under-reports its pipeline depth."""
+    from avion_tpu.data.video_reader import (VideoReader,
+                                             native_available,
+                                             write_test_video)
+
+    if not native_available():
+        pytest.skip("native decode library unavailable")
+    path = str(tmp_path / "t4.mp4")
+    try:
+        write_test_video(path, 450, w=128, h=96, fps=30, gop=250,
+                         bframes=3, codec="libx264", noise=False, seed=3)
+    except Exception:
+        pytest.skip("libx264 encoder unavailable")
+
+    exact = VideoReader(path, num_threads=1, backend="native", fast=False)
+    fast4 = VideoReader(path, num_threads=4, backend="native", fast=True)
+    rs = np.random.RandomState(0)
+    for _ in range(8):
+        start = int(rs.randint(0, 380))
+        ids = sorted(rs.randint(start, min(start + 70, 449), 4).tolist())
+        a = exact.get_batch(ids)
+        b = fast4.get_batch(ids)  # raised DecodeError before the fix
+        for k, i in enumerate(ids):
+            ca, cb = _bar_centroid(a[k]), _bar_centroid(b[k])
+            assert abs(ca - cb) < 3.0, (ids, i, ca, cb)
