@@ -278,16 +278,76 @@ def http_vlm_infer(endpoint: str, model: str = "Qwen/Qwen2-VL-7B-Instruct",
         )
         with urllib.request.urlopen(req, timeout=timeout) as resp:
             reply = json.load(resp)
-        text = reply["choices"][0]["message"]["content"]
-        start = text.find("{")
-        end = text.rfind("}")
-        if start < 0 or end < 0:
-            return None
+        return parse_vlm_reply(reply["choices"][0]["message"]["content"],
+                               item)
+
+    return infer
+
+
+def parse_vlm_reply(text: str, item: RefineItem) -> Optional[dict]:
+    """Extract the JSON contract from a model reply and convert the
+    window-relative span to absolute seconds."""
+    start = text.find("{")
+    end = text.rfind("}")
+    if start < 0 or end < 0:
+        return None
+    try:
         out = json.loads(text[start : end + 1])
-        # answers are window-relative; convert to absolute seconds
         out["start"] = float(out["start"]) + item.window_start
         out["end"] = float(out["end"]) + item.window_start
-        return out
+    except (ValueError, KeyError, TypeError):
+        return None
+    return out
+
+
+def local_vlm_infer(model_path: str, *, video_root: str = "",
+                    clip_length: int = 8, crop_size: int = 336,
+                    device: str = "cpu", max_new_tokens: int = 128):
+    """Build an ``infer(item)`` over a LOCAL HuggingFace VLM checkpoint
+    directory via transformers — the serverless counterpart of the
+    reference's vLLM deployment (``vllm_refine.py``): same frame
+    sampling, same prompt contract, greedy decoding, no network.
+
+    ``model_path`` must hold a processor + an image-text-to-text model
+    (e.g. a downloaded Qwen-VL snapshot)."""
+    import torch
+    from transformers import AutoModelForImageTextToText, AutoProcessor
+
+    from avion_tpu.data.sampling import load_clip
+
+    processor = AutoProcessor.from_pretrained(model_path)
+    model = AutoModelForImageTextToText.from_pretrained(model_path)
+    model = model.to(device).eval()
+
+    def infer(item: RefineItem) -> Optional[dict]:
+        from PIL import Image
+
+        frames = load_clip(
+            video_root, item.vid, "mp4", item.window_start, item.window_end,
+            chunk_len=15, clip_length=clip_length,
+            out_size=(crop_size, crop_size), jitter=False,
+        )
+        images = [Image.fromarray(f) for f in frames]
+        prompt = REFINE_PROMPT.format(
+            n=len(images), window=item.window_end - item.window_start,
+            caption=item.caption, start=item.start - item.window_start,
+            end=item.end - item.window_start,
+        )
+        messages = [{"role": "user", "content":
+                     [{"type": "image"} for _ in images]
+                     + [{"type": "text", "text": prompt}]}]
+        text = processor.apply_chat_template(messages,
+                                             add_generation_prompt=True)
+        inputs = processor(text=text, images=images, return_tensors="pt")
+        inputs = {k: v.to(device) if hasattr(v, "to") else v
+                  for k, v in inputs.items()}
+        with torch.no_grad():
+            out = model.generate(**inputs, max_new_tokens=max_new_tokens,
+                                 do_sample=False)
+        n_in = inputs["input_ids"].shape[1]
+        reply = processor.batch_decode(out[:, n_in:],
+                                       skip_special_tokens=True)[0]
+        return parse_vlm_reply(reply, item)
 
     return infer
 

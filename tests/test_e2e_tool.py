@@ -1,0 +1,83 @@
+"""e2e_convergence tool helpers (quick tier — the full tool is driven
+on the real chip; see docs/E2E.md for a recorded run)."""
+
+import json
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from avion_tpu.tools.e2e_convergence import (
+    caption_for,
+    read_log,
+    write_report,
+)
+
+
+def test_captions_distinct_per_class():
+    caps = [caption_for(c) for c in range(256)]
+    assert len(set(caps)) == 256
+    assert all(c.startswith("#C C ") for c in caps)
+
+
+def test_read_log_normalizes_namespacing(tmp_path):
+    rows = [
+        {"step": 1, "train/loss": 2.0, "train/clip_acc": 10.0,
+         "perf/duty_cycle": 0.5},
+        {"step": 2, "eval/x": 1.0},  # no loss -> dropped
+        {"step": 3, "train/loss": 1.5, "train/clip_acc": 20.0},
+    ]
+    with open(tmp_path / "log.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+        f.write("not json\n")  # tolerated
+    out = read_log(str(tmp_path))
+    assert [r["step"] for r in out] == [1, 3]
+    assert out[0]["loss"] == 2.0
+    assert out[0]["perf/duty_cycle"] == 0.5
+    assert out[1]["clip_acc"] == 20.0
+
+
+def test_write_report_summarizes(tmp_path):
+    rows = [{"step": i, "loss": 2.0 - i * 0.01, "clip_acc": 10 + i,
+             "perf/duty_cycle": 0.6} for i in range(100)]
+    path = tmp_path / "E2E.md"
+    write_report(str(path), cfg={"model": "CLIP_TINY"}, rows=rows,
+                 resume_step=50,
+                 zs={"ckpt_step": 100, "heldout_clips": 16,
+                     "zeroshot_top1": 1.0, "zeroshot_top5": 1.0},
+                 wall_s=123.0)
+    text = path.read_text()
+    assert "resume at step 50" in text
+    assert "top-1 1.0" in text
+    assert "duty cycle" in text
+    # descending loss visible in the summary
+    assert "2.0" in text and "1.0" in text
+
+
+def test_make_class_dataset_layout(tmp_path):
+    from avion_tpu.data.video_reader import native_available
+    from avion_tpu.tools.e2e_convergence import make_class_dataset
+
+    if not native_available():
+        pytest.skip("native decode library unavailable")
+    try:
+        meta = make_class_dataset(str(tmp_path), 2, 4, w=128, h=96)
+    except Exception:
+        pytest.skip("libx264 encoder unavailable")
+    import pickle
+
+    samples = pickle.load(open(meta, "rb"))
+    assert len(samples) == 8
+    vids = {s[0] for s in samples}
+    assert vids == {"cls000", "cls001"}
+    heldout = json.load(open(osp.join(str(tmp_path), "heldout.json")))
+    assert len(heldout) == 8
+    # the two classes' videos differ visually (seeded chroma/texture)
+    from avion_tpu.data.video_reader import VideoReader
+
+    a = VideoReader(osp.join(str(tmp_path), "cls000.mp4", "0.mp4"))
+    b = VideoReader(osp.join(str(tmp_path), "cls001.mp4", "0.mp4"))
+    fa = a.get_batch([10])[0].astype(np.int32)
+    fb = b.get_batch([10])[0].astype(np.int32)
+    assert np.abs(fa - fb).mean() > 20

@@ -337,3 +337,83 @@ def test_multi_response_refinement_majority_vote():
     out = refine_samples_multi(items, infer_multi)
     assert out[0]["refined"] and not out[1]["refined"]
     assert out[1]["start"] == 1.0 and out[1]["end"] == 2.0
+
+
+def test_parse_vlm_reply_contract():
+    from avion_tpu.tools.narration_refinement import (RefineItem,
+                                                      parse_vlm_reply)
+
+    item = RefineItem("v", 10.0, 12.0, "c", window_start=7.5,
+                      window_end=22.5)
+    out = parse_vlm_reply(
+        'Sure! {"start": 2.0, "end": 4.5, "caption": "opens drawer"}',
+        item)
+    assert out["start"] == 9.5 and out["end"] == 12.0
+    assert out["caption"] == "opens drawer"
+    assert parse_vlm_reply("no json here", item) is None
+    assert parse_vlm_reply('{"start": "x", "end": 1}', item) is None
+
+
+def test_local_vlm_infer_plumbing(tmp_path, monkeypatch):
+    """local transformers backend: frames -> chat template -> generate
+    -> parsed window-relative span, with the model/processor doubled
+    (real weights need a downloaded snapshot)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from avion_tpu.tools import narration_refinement as nr
+
+    class FakeTensor:
+        def __init__(self, shape):
+            self.shape = shape
+
+        def to(self, device):
+            return self
+
+    class FakeProcessor:
+        def apply_chat_template(self, messages, add_generation_prompt):
+            assert messages[0]["content"][-1]["type"] == "text"
+            return "TEMPLATED"
+
+        def __call__(self, text, images, return_tensors):
+            assert text == "TEMPLATED" and len(images) == 2
+            return {"input_ids": FakeTensor((1, 5))}
+
+        def batch_decode(self, ids, skip_special_tokens):
+            return ['{"start": 1.0, "end": 3.0, "caption": "c2"}']
+
+    class FakeModel:
+        def to(self, device):
+            return self
+
+        def eval(self):
+            return self
+
+        def generate(self, **kw):
+            import numpy as np
+
+            class Out:
+                def __getitem__(self, idx):
+                    return "SLICE"
+
+            return Out()
+
+    fake_tf = types.SimpleNamespace(
+        AutoProcessor=types.SimpleNamespace(
+            from_pretrained=lambda p: FakeProcessor()),
+        AutoModelForImageTextToText=types.SimpleNamespace(
+            from_pretrained=lambda p: FakeModel()),
+    )
+    monkeypatch.setitem(sys.modules, "transformers", fake_tf)
+    monkeypatch.setattr(
+        "avion_tpu.data.sampling.load_clip",
+        lambda *a, **k: np.zeros((2, 8, 8, 3), np.uint8))
+
+    infer = nr.local_vlm_infer("/fake/path", video_root="/fake",
+                               clip_length=2, crop_size=8)
+    item = nr.RefineItem("v", 10.0, 12.0, "c", window_start=7.5,
+                         window_end=22.5)
+    out = infer(item)
+    assert out == {"start": 8.5, "end": 10.5, "caption": "c2"}
