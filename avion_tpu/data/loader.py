@@ -275,29 +275,100 @@ def device_prefetch(
     depth: int = 2,
     transform: Optional[Callable] = None,
     batch_dim: int = 0,
+    threaded: bool = True,
 ) -> Iterator[Any]:
     """Ship host batches to the mesh ahead of consumption.
 
-    ``device_put`` is async: with ``depth`` batches in flight the H2D
-    transfer of batch N+1 overlaps the TPU's compute of batch N — the
-    duty-cycle mechanism the reference approximates with pinned-memory
-    prefetch (``main_lavila_pretrain.py:186-191``).
+    With ``threaded=True`` (default) a daemon thread runs collate ->
+    ``device_put`` into a bounded queue, so the train loop NEVER blocks
+    on H2D: on backends where ``device_put`` waits for the transfer (or
+    serializes behind queued compute — the remote-tunnel backend does
+    both), the wait lands in the prefetch thread and overlaps device
+    compute — the duty-cycle mechanism the reference approximates with
+    pinned-memory prefetch (``main_lavila_pretrain.py:186-191``).  It
+    also keeps starvation accounting honest: time in ``next()`` is
+    genuine input starvation (empty queue), not transfer dispatch.
+
+    ``threaded=False`` keeps the synchronous generator (relies on
+    ``device_put`` being async; useful for debugging).
 
     ``batch_dim=1``: batches arrive microbatch-major ``[M, B/M, ...]``
     (after ``transform``) and shard dim 1 (cached grad accumulation).
     """
     from avion_tpu.parallel.sharding import make_global_batch
 
-    buf = collections.deque()
     it = iter(loader)
-    try:
-        while True:
-            while len(buf) < depth:
-                host = next(it)
+    if not threaded:
+        buf = collections.deque()
+        try:
+            while True:
+                while len(buf) < depth:
+                    host = next(it)
+                    if transform is not None:
+                        host = transform(host)
+                    buf.append(
+                        make_global_batch(mesh, host, batch_dim=batch_dim))
+                yield buf.popleft()
+        except StopIteration:
+            while buf:
+                yield buf.popleft()
+        return
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
+    _END = object()
+
+    def _produce():
+        try:
+            for host in it:
                 if transform is not None:
                     host = transform(host)
-                buf.append(make_global_batch(mesh, host, batch_dim=batch_dim))
-            yield buf.popleft()
-    except StopIteration:
-        while buf:
-            yield buf.popleft()
+                item = (make_global_batch(mesh, host, batch_dim=batch_dim),
+                        None)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:  # re-raised in the consumer
+            item = (None, e)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return
+                except queue.Full:
+                    continue
+            return
+        while not stop.is_set():
+            try:
+                q.put((_END, None), timeout=0.5)
+                return
+            except queue.Full:
+                continue
+
+    t = threading.Thread(target=_produce, daemon=True,
+                         name="device_prefetch")
+    t.start()
+    try:
+        while True:
+            batch, err = q.get()
+            if err is not None:
+                raise err
+            if batch is _END:
+                return
+            yield batch
+    finally:
+        stop.set()
+        t.join(timeout=10.0)
+        if not t.is_alive():
+            # run the source generator's cleanup (shm reclamation in
+            # DataLoader.__iter__) now that no thread is executing it
+            close = getattr(it, "close", None)
+            if close is not None:
+                try:
+                    close()
+                except Exception:
+                    pass

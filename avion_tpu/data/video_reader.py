@@ -134,7 +134,13 @@ def write_test_video(path: str, n_frames: int, w: int = 64, h: int = 64,
     lib = _native_lib()
     if lib is None:
         raise DecodeError("native decode library unavailable")
-    if seed and hasattr(lib, "avd_write_test_video_seeded"):
+    if seed:
+        if not hasattr(lib, "avd_write_test_video_seeded"):
+            # silently ignoring the seed would emit pixel-identical
+            # "classes" and make convergence fixtures unlearnable
+            raise DecodeError(
+                "libavion_decode.so predates avd_write_test_video_seeded; "
+                "rebuild it (make -C native/decode)")
         rc = lib.avd_write_test_video_seeded(
             path.encode(), n_frames, w, h, fps, gop, bframes,
             codec.encode(), int(noise), seed & 0xFFFFFFFF)

@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from avion_tpu.egonlq.features import FeatureExtractor
 from avion_tpu.models.timesformer import SpaceTimeTransformer
 
 _exact_gelu = functools.partial(nn.gelu, approximate=False)
@@ -315,10 +316,11 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
-class EgoVLPFeatureExtractor:
+class EgoVLPFeatureExtractor(FeatureExtractor):
     """NLQ feature extraction over the legacy EgoVLP dual encoder —
-    drop-in sibling of ``features.FeatureExtractor`` (same windowing,
-    same .npz cache layout), for released EgoVLP checkpoints.
+    drop-in sibling of ``features.FeatureExtractor`` (the windowed
+    ``video_features`` sweep, ``extract_to_dir`` and its .npz cache
+    layout are inherited), for released EgoVLP checkpoints.
 
     ``tokenizer``: anything with ``__call__(list[str]) ->
     {"input_ids", "attention_mask"}`` (e.g. a local-path HF
@@ -329,6 +331,9 @@ class EgoVLPFeatureExtractor:
                  clip_length: int = 4, window_sec: float = 2.0,
                  fps: float = 30.0, crop_size: int = 224,
                  batch: int = 32):
+        # no super().__init__: the base initializer builds CLIP-tower
+        # closures (OPENAI normalize, encode_text) and bf16-casts params;
+        # EgoVLP keeps checkpoint dtypes and swaps in its own closures
         self.model = model
         self.params = params
         self.tokenizer = tokenizer
@@ -353,35 +358,6 @@ class EgoVLPFeatureExtractor:
                                method=model.compute_text)
 
         self._vis, self._txt = _vis, _txt
-
-    def video_features(self, path: str) -> np.ndarray:
-        from avion_tpu.data.sampling import get_frame_ids
-        from avion_tpu.data.transforms import center_crop_spec
-        from avion_tpu.data.video_reader import VideoReader
-
-        vr = VideoReader(path)
-        n = len(vr)
-        fps = vr.get_avg_fps() or self.fps
-        win = max(1, int(self.window_sec * fps))
-        crop = center_crop_spec(vr.width, vr.height)
-        windows = []
-        for start in range(0, n, win):
-            ids = get_frame_ids(start, min(start + win, n),
-                                num_segments=self.clip_length, jitter=False)
-            windows.append(vr.get_batch(
-                ids, crop, (self.crop_size, self.crop_size)))
-        clips = np.stack(windows)
-        out = []
-        for i in range(0, len(clips), self.batch):
-            chunk = clips[i: i + self.batch]
-            pad = 0
-            if len(chunk) < self.batch:
-                pad = self.batch - len(chunk)
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], pad, 0)], 0)
-            f = np.asarray(self._vis(self.params, chunk), np.float32)
-            out.append(f[: len(f) - pad] if pad else f)
-        return np.concatenate(out, 0)
 
     def text_features(self, queries) -> np.ndarray:
         if self.tokenizer is None:

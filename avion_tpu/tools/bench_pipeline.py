@@ -163,30 +163,36 @@ def live_segment(model_name: str = "CLIP_VITB16", batch: int = 64,
     loader = DataLoader(ds, batch, shuffle=True, drop_last=True,
                         num_workers=workers, prefetch_depth=4,
                         infinite=True)
-    it = device_prefetch(iter(loader), mesh, depth=2)
+    # close on every exit path: live_segment is embedded in bench.py
+    # (not a standalone CLI), so a raise here must not leak decode
+    # worker processes into the benches that follow
+    try:
+        it = device_prefetch(iter(loader), mesh, depth=2)
 
-    # warmup: compile + fill prefetch queues
-    with jax.set_mesh(mesh):
-        for _ in range(2):
-            state, m = step(state, next(it), rng)
-        float(m["loss"])
+        # warmup: compile + fill prefetch queues
+        with jax.set_mesh(mesh):
+            for _ in range(2):
+                state, m = step(state, next(it), rng)
+            float(m["loss"])
 
-        timer = StepTimer()
-        n = 0
-        marked = 0
-        t_start = time.perf_counter()
-        while n < steps:
-            t_fetch = time.perf_counter()
-            batch_data = next(it)
-            timer.data_time.update(time.perf_counter() - t_fetch)
-            state, m = step(state, batch_data, rng)
-            n += 1
-            if n % 5 == 0 or n == steps:
-                float(m["loss"])  # force the chain to the device
-                timer.mark_window(n - marked)
-                marked = n
-        loss = float(m["loss"])
-        wall = time.perf_counter() - t_start
+            timer = StepTimer()
+            n = 0
+            marked = 0
+            t_start = time.perf_counter()
+            while n < steps:
+                t_fetch = time.perf_counter()
+                batch_data = next(it)
+                timer.data_time.update(time.perf_counter() - t_fetch)
+                state, m = step(state, batch_data, rng)
+                n += 1
+                if n % 5 == 0 or n == steps:
+                    float(m["loss"])  # force the chain to the device
+                    timer.mark_window(n - marked)
+                    marked = n
+            loss = float(m["loss"])
+            wall = time.perf_counter() - t_start
+    finally:
+        loader.close()
 
     stats = timer.stats()
     result = {
@@ -205,7 +211,6 @@ def live_segment(model_name: str = "CLIP_VITB16", batch: int = 64,
          f"{result['duty_cycle']} (stall {result['data_stall_ms']} ms/step, "
          f"{workers} decode workers on {result['host_cores']} cores)")
 
-    loader.close()
     if replay:
         # pool of pre-decoded host batches (decoded once, reused):
         # feeding the step from the pool measures host assembly +
@@ -216,9 +221,11 @@ def live_segment(model_name: str = "CLIP_VITB16", batch: int = 64,
         pool_loader = DataLoader(ds, batch, shuffle=True, drop_last=True,
                                  num_workers=workers, prefetch_depth=2,
                                  infinite=True)
-        pool_it = iter(pool_loader)
-        pool = [next(pool_it) for _ in range(4)]
-        pool_loader.close()  # pool decoded; workers no longer needed
+        try:
+            pool_it = iter(pool_loader)
+            pool = [next(pool_it) for _ in range(4)]
+        finally:
+            pool_loader.close()  # pool decoded; workers no longer needed
         rit = device_prefetch(itertools.cycle(pool), mesh, depth=2)
         with jax.set_mesh(mesh):
             state, m = step(state, next(rit), rng)

@@ -109,19 +109,28 @@ def launch_training(root, meta, out_dir, *, model, batch, epochs, workers,
     jsonl = osp.join(out_dir, "log.jsonl")
     t0 = time.monotonic()
     sent = False
-    while proc.poll() is None:
-        time.sleep(1)
-        if time.monotonic() - t0 > timeout_s:
-            proc.terminate()
-            raise RuntimeError("training subprocess timed out")
-        if preempt_after_steps and not sent:
-            step = _last_step(jsonl)
-            if step >= preempt_after_steps:
-                print(f"[e2e] sending SIGTERM at step {step} "
-                      "(preemption drill)", file=sys.stderr)
-                proc.send_signal(signal.SIGTERM)
-                sent = True
-    logf.close()
+    try:
+        while proc.poll() is None:
+            time.sleep(1)
+            if time.monotonic() - t0 > timeout_s:
+                # SIGTERM triggers the entry's checkpoint-then-exit
+                # preemption handler; escalate to SIGKILL if it stalls
+                proc.terminate()
+                try:
+                    proc.wait(timeout=120)
+                except subprocess.TimeoutExpired:
+                    proc.kill()
+                    proc.wait()
+                raise RuntimeError("training subprocess timed out")
+            if preempt_after_steps and not sent:
+                step = _last_step(jsonl)
+                if step >= preempt_after_steps:
+                    print(f"[e2e] sending SIGTERM at step {step} "
+                          "(preemption drill)", file=sys.stderr)
+                    proc.send_signal(signal.SIGTERM)
+                    sent = True
+    finally:
+        logf.close()
     if preempt_after_steps and not sent:
         raise RuntimeError(
             "run finished before the preemption point — raise epochs "

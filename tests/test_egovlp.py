@@ -283,3 +283,43 @@ def test_egovlp_extractor_text_from_ids():
     feats = ex.text_features_from_ids(ids)
     assert feats.shape == (2, PROJ)
     assert np.isfinite(feats).all()
+
+
+def test_egovlp_extractor_to_dir(tmp_path):
+    """The shipped extraction path (scripts/examples/
+    extract_nlq_features_egovlp.sh): windowed video sweep +
+    extract_to_dir inherited from features.FeatureExtractor."""
+    cv2 = pytest.importorskip("cv2")
+
+    rs = np.random.RandomState(4)
+    sd = _make_state(rs)
+    params = import_egovlp_state(sd, num_frames=FRAMES, layers=LAYERS,
+                                 text_layers=TEXT_LAYERS)
+    from avion_tpu.egonlq.egovlp import EgoVLPFeatureExtractor
+
+    vw = cv2.VideoWriter(str(tmp_path / "uidY.mp4"),
+                         cv2.VideoWriter_fourcc(*"mp4v"), 10, (48, 48))
+    for i in range(30):
+        vw.write(rs.randint(0, 255, (48, 48, 3), np.uint8))
+    vw.release()
+
+    class _Tok:  # minimal HF-tokenizer stand-in
+        def __call__(self, texts, padding=True, return_tensors="np"):
+            ids = np.full((len(texts), 6), 1, np.int32)
+            for r, t in enumerate(texts):
+                n = min(4, 2 + len(t) % 3)
+                ids[r, :n] = 2 + (np.arange(n) + len(t)) % (VOCAB - 2)
+            return {"input_ids": ids,
+                    "attention_mask": (ids != 1).astype(np.int32)}
+
+    ex = EgoVLPFeatureExtractor(_model(), params, tokenizer=_Tok(),
+                                clip_length=FRAMES, crop_size=IMG,
+                                batch=4, window_sec=1.0)
+    samples = [{"video_uid": "uidY", "query": "where is the cup"},
+               {"video_uid": "uidY", "query": "what did I pour"}]
+    ex.extract_to_dir(samples, str(tmp_path), str(tmp_path / "feats"))
+    for i in range(2):
+        z = np.load(str(tmp_path / "feats" / f"feat_{i}.npz"))
+        assert z["video"].ndim == 2 and z["video"].shape[1] == PROJ
+        assert z["text"].shape == (PROJ,)
+        assert np.isfinite(z["video"]).all() and np.isfinite(z["text"]).all()
