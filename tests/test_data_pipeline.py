@@ -383,3 +383,71 @@ def test_decode_fast_config_reachable(ego4d_root):
     assert ds_auto.decode_fast is True
     assert ds_off.decode_fast is False
     assert ds_off[0]["video"].shape == (2, 32, 32, 3)
+
+
+# ---------------------------------------------------------------------------
+# device_prefetch (threaded producer): ordering, exhaustion, error
+# propagation, and early-close source cleanup
+# ---------------------------------------------------------------------------
+
+
+def test_device_prefetch_threaded_order_and_exhaustion(mesh_dp):
+    from avion_tpu.data.loader import device_prefetch
+
+    batches = [{"x": np.full((8, 2), i, np.float32)} for i in range(5)]
+    out = list(device_prefetch(iter(batches), mesh_dp, depth=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
+
+
+def test_device_prefetch_sync_order_and_exhaustion(mesh_dp):
+    from avion_tpu.data.loader import device_prefetch
+
+    batches = [{"x": np.full((8, 2), i, np.float32)} for i in range(5)]
+    out = list(device_prefetch(iter(batches), mesh_dp, depth=2,
+                               threaded=False))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
+
+
+def test_device_prefetch_error_propagates(mesh_dp):
+    """A loader exception (e.g. a decode failure) raised in the producer
+    thread must surface in the train loop, not die silently."""
+    from avion_tpu.data.loader import device_prefetch
+
+    def src():
+        yield {"x": np.zeros((8, 2), np.float32)}
+        raise RuntimeError("decode boom")
+
+    it = device_prefetch(src(), mesh_dp, depth=2)
+    with pytest.raises(RuntimeError, match="decode boom"):
+        for _ in range(3):
+            next(it)
+
+
+def test_device_prefetch_early_close_runs_source_cleanup(mesh_dp):
+    """Closing the prefetch generator mid-epoch must run the source
+    iterator's cleanup (shm reclamation lives in DataLoader.__iter__'s
+    GeneratorExit handler)."""
+    import time as _time
+
+    from avion_tpu.data.loader import device_prefetch
+
+    closed = []
+
+    def src():
+        try:
+            for i in range(1000):
+                yield {"x": np.full((8, 2), i, np.float32)}
+        finally:
+            closed.append(True)
+
+    g = device_prefetch(src(), mesh_dp, depth=2)
+    next(g)
+    g.close()
+    deadline = _time.time() + 10
+    while not closed and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert closed
