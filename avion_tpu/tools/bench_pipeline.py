@@ -329,6 +329,7 @@ def main(argv=None):
         "decode_clips_per_sec_per_core":
             seg.get("decode_clips_per_sec_per_core"),
         "host_cores": seg["host_cores"],
+        "live_batch": seg.get("live_batch", args.batch),
         "projected_duty_cycle_at_cores": {
             str(args.host_cores): round(projected, 4)},
         "loss": seg["loss"],

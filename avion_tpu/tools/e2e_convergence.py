@@ -1,25 +1,35 @@
 """One live end-to-end convergence run on the real chip.
 
 Proof that the ASSEMBLED system trains on hardware: generates a
-learnable synthetic x264 chunked dataset (seeded per-class video
-content, distinct captions), runs ``train/pretrain_clip.py`` — the
-real entry, real fused-decode loader with worker processes, shm
-transport and device prefetch — through a mid-run SIGTERM preemption
-(checkpoint + clean exit, ``parallel/launch.py``) and an auto-resumed
-second launch to completion, then restores the final checkpoint and
-runs a held-out zero-shot retrieval sweep.  The log (descending loss,
-rising clip_acc, measured duty cycle, resume step) is summarized into
-``docs/E2E.md``.
+learnable synthetic x264 dataset (seeded per-class video content),
+runs the REAL training entry — real fused-decode loader with worker
+processes, shm transport and device prefetch — through a mid-run
+SIGTERM preemption (checkpoint + clean exit, ``parallel/launch.py``)
+and an auto-resumed second launch to completion, then restores the
+final checkpoint and runs a held-out evaluation.  The log (descending
+loss, measured duty cycle, resume step) is summarized into a
+``docs/E2E*.md`` report.
+
+Two families:
+
+- ``--family clip`` (default): ``train/pretrain_clip.py`` on chunked
+  caption windows; final held-out zero-shot retrieval sweep
+  (``docs/E2E.md``).
+- ``--family videomae``: ``train/videomae_pretrain.py`` on a Kinetics
+  video list (strided 16-frame clips, 90% tube masking); final
+  held-out masked-reconstruction MSE, restored checkpoint vs a fresh
+  init (``docs/E2E_VIDEOMAE.md``).
 
 Mirrors the reference's operational loop: train -> preempt/requeue
 (``run_with_submit_lavila_pretrain.py:53-59``) -> resume
-(``main_lavila_pretrain.py:386-403``) -> zero-shot validation.
+(``main_lavila_pretrain.py:386-403``) -> validation.
 
 Usage (real chip; ~20-30 min on a 1-core CI host, decode-bound)::
 
     python -m avion_tpu.tools.e2e_convergence \
-        [--classes 32] [--windows 64] [--batch 32] [--epochs 6]
-        [--out /tmp/avion_e2e] [--report docs/E2E.md]
+        [--family clip|videomae] [--classes 32] [--windows 64]
+        [--batch 32] [--epochs 6] [--out /tmp/avion_e2e]
+        [--report docs/E2E.md]
 """
 
 from __future__ import annotations
@@ -87,17 +97,53 @@ def make_class_dataset(root: str, n_classes: int, windows_per_class: int,
     return meta
 
 
+def make_mae_dataset(root: str, n_videos: int, repeats: int,
+                     n_frames: int = 240, fps: int = 30,
+                     w: int = 456, h: int = 256) -> str:
+    """Seeded x264 videos + a Kinetics-style 'path num_frames label'
+    list (each video listed ``repeats`` times: KineticsDataset samples
+    a fresh strided window per row) + fixed held-out eval windows."""
+    from avion_tpu.data.video_reader import write_test_video
+
+    os.makedirs(root, exist_ok=True)
+    lines = []
+    for v in range(n_videos):
+        name = f"mae{v:03d}.mp4"
+        path = osp.join(root, name)
+        if not osp.exists(path):
+            write_test_video(path, n_frames, w=w, h=h, fps=fps, gop=250,
+                             bframes=3, codec="libx264", noise=True,
+                             seed=5000 + 7919 * v)
+        lines.extend([f"{name} {n_frames} {v}"] * repeats)
+    meta = osp.join(root, "train.txt")
+    with open(meta, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return meta
+
+
+_FAMILY_ENTRY = {
+    "clip": "avion_tpu.train.pretrain_clip",
+    "videomae": "avion_tpu.train.videomae_pretrain",
+}
+
+
 def launch_training(root, meta, out_dir, *, model, batch, epochs, workers,
                     lr, log_path, preempt_after_steps=None,
-                    timeout_s=3600, extra=()):
-    """Run the real pretrain entry as a subprocess; optionally SIGTERM
+                    timeout_s=3600, extra=(), family="clip",
+                    clip_length=None):
+    """Run the real training entry as a subprocess; optionally SIGTERM
     it once log.jsonl shows >= preempt_after_steps train steps."""
+    if clip_length is None:
+        clip_length = 4 if family == "clip" else 16
+    family_overrides = (
+        ("data.dataset=ego4d", "data.crop_size=224")
+        if family == "clip" else ())
     cmd = [
-        sys.executable, "-m", "avion_tpu.train.pretrain_clip",
-        f"model.name={model}", "data.dataset=ego4d",
+        sys.executable, "-m", _FAMILY_ENTRY[family],
+        f"model.name={model}", *family_overrides,
         f"data.root={root}", f"data.train_metadata={meta}",
         f"data.batch_size={batch}", f"data.num_workers={workers}",
-        "data.clip_length=4", "data.crop_size=224",
+        f"data.clip_length={clip_length}",
         f"optim.epochs={epochs}", f"optim.lr={lr}",
         "optim.warmup_epochs=0.5", "eval_freq=0", "save_freq=1",
         "print_freq=10", f"output_dir={out_dir}", *extra,
@@ -254,6 +300,145 @@ def zero_shot_sweep(root, out_dir, *, model_name, batch, n_classes,
             "zeroshot_top1": round(top1, 4), "zeroshot_top5": round(top5, 4)}
 
 
+def mae_eval(root, out_dir, *, batch, n_videos, windows_per_video=2):
+    """Restore the final VideoMAE checkpoint and measure held-out
+    masked-reconstruction MSE (fixed windows + fixed tube masks),
+    against the SAME measurement on a fresh init — the learning signal
+    analogous to the CLIP family's zero-shot sweep."""
+    import jax
+    import jax.numpy as jnp
+
+    from avion_tpu.core.checkpoint import Checkpointer
+    from avion_tpu.core.config import TrainConfig
+    from avion_tpu.core.train_state import TrainState
+    from avion_tpu.data.sampling import strided_frame_ids
+    from avion_tpu.data.transforms import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        center_crop_spec,
+        tube_mask,
+    )
+    from avion_tpu.data.video_reader import VideoReader
+    from avion_tpu.losses.losses import videomae_loss
+    from avion_tpu.models import create_model
+    from avion_tpu.optim import build_optimizer
+    from avion_tpu.train.steps import prep_video
+
+    cfg = TrainConfig.from_dict(
+        json.load(open(osp.join(out_dir, "config.json"))))
+    d = cfg.data
+    name = (cfg.model.name if "VIDEOMAE" in cfg.model.name
+            else "VIDEOMAE_VITB16")
+    model = create_model(
+        name, num_frames=d.clip_length,
+        use_flash_attn=cfg.model.use_flash_attn,
+        use_grad_checkpointing=cfg.model.use_grad_checkpointing,
+        decoder_depth=cfg.model.decoder_layers, mask_ratio=d.mask_ratio)
+    crop_size = model.image_size
+    rng = jax.random.PRNGKey(0)
+    video0 = jnp.zeros((2, d.clip_length, crop_size, crop_size, 3),
+                       jnp.bfloat16)
+    n = model.num_patches
+    mask0 = np.zeros((2, n), bool)
+    mask0[:, model.n_visible:] = True
+    init_params = jax.jit(model.init)(rng, video0,
+                                      jnp.asarray(mask0))["params"]
+    # mirror the entry's optimizer construction so the restore
+    # template's opt_state tree matches (incl. layer-decay configs)
+    tx, _ = build_optimizer(cfg.optim, init_params, 10,
+                            num_layers=model.encoder_layers)
+    template = TrainState.create(init_params, tx)
+    ckpt = Checkpointer(osp.join(out_dir, "ckpt"))
+    state, _ = ckpt.restore(template)
+    assert state is not None, "no checkpoint found"
+    step = int(state.step)
+    trained = jax.device_get(state.params)
+    ckpt.close()
+
+    # held-out clips: deterministic strided windows + seeded tube masks
+    clips, masks = [], []
+    g = crop_size // model.patch_size
+    for v in range(n_videos):
+        vr = VideoReader(osp.join(root, f"mae{v:03d}.mp4"))
+        crop = center_crop_spec(vr.width, vr.height)
+        for k in range(windows_per_video):
+            rs = np.random.RandomState(31 * v + k)
+            ids = strided_frame_ids(len(vr), d.clip_length, d.clip_stride,
+                                    random_shift=True, rng=rs)
+            clips.append(vr.get_batch(ids, crop, (crop_size, crop_size)))
+            masks.append(tube_mask(rs, d.clip_length // model.tubelet_size,
+                                   g, g, d.mask_ratio))
+        vr.close()
+    clips = np.stack(clips)
+    masks = np.stack(masks)
+
+    @jax.jit
+    def eval_loss(params, video, mask):
+        v = prep_video(video, IMAGENET_MEAN, IMAGENET_STD)
+        pred, masked_idx = model.apply({"params": params}, v, mask, True)
+        return videomae_loss(pred, v, masked_idx, model.patch_size,
+                             model.tubelet_size, True)["loss"]
+
+    def sweep(params):
+        tot, cnt = 0.0, 0
+        for i in range(0, len(clips), batch):
+            cv, cm = clips[i: i + batch], masks[i: i + batch]
+            # no padding: a partial tail evaluates at its own shape (at
+            # most one extra compile) so duplicate rows never bias the
+            # held-out mean
+            tot += float(eval_loss(params, cv, cm)) * len(cv)
+            cnt += len(cv)
+        return tot / cnt
+
+    mse_final = sweep(trained)
+    mse_init = sweep(jax.device_get(init_params))
+    return {"ckpt_step": step, "heldout_clips": len(clips),
+            "mse_init": round(mse_init, 4),
+            "mse_final": round(mse_final, 4),
+            "mse_ratio": round(mse_final / max(mse_init, 1e-9), 4)}
+
+
+def write_report_mae(path, *, cfg, rows, resume_step, zs, wall_s):
+    first = rows[: max(1, len(rows) // 10)]
+    last = rows[-max(1, len(rows) // 10):]
+    mean = lambda rs, k: float(np.mean([r[k] for r in rs if k in r]))
+    duty = [r["perf/duty_cycle"] for r in rows if "perf/duty_cycle" in r]
+    curve = rows[:: max(1, len(rows) // 16)]
+    lines = [
+        "# E2E VideoMAE convergence run (real chip, live loader)",
+        "",
+        "Produced by `python -m avion_tpu.tools.e2e_convergence "
+        "--family videomae` — the real `train/videomae_pretrain.py`",
+        "entry on synthetic seeded-x264 videos (Kinetics list format),",
+        "decoded live by worker processes, with a mid-run SIGTERM",
+        "preemption + auto-resume, and a final held-out",
+        "masked-reconstruction sweep from the restored checkpoint.",
+        "",
+        f"- config: `{json.dumps(cfg)}`",
+        f"- total wall time: {wall_s:.0f}s (1-core CI host; decode-bound)",
+        f"- steps logged: {len(rows)} (resume at step {resume_step})",
+        f"- train MSE: first-10% mean {mean(first, 'loss'):.4f} -> "
+        f"last-10% mean {mean(last, 'loss'):.4f}",
+        f"- measured duty cycle (window median {np.median(duty):.3f}, "
+        f"min {min(duty):.3f}, max {max(duty):.3f} over {len(duty)} "
+        f"print windows)" if duty else "- duty cycle: n/a",
+        f"- held-out masked-reconstruction MSE: fresh init "
+        f"{zs['mse_init']} -> trained {zs['mse_final']} "
+        f"({zs['mse_ratio']:.2f}x, {zs['heldout_clips']} clips, "
+        f"ckpt step {zs['ckpt_step']})",
+        "",
+        "## loss curve (sampled)",
+        "",
+        "| step | mse |",
+        "|---|---|",
+    ]
+    for r in curve:
+        lines.append(f"| {r.get('step', '?')} | {r['loss']:.4f} |")
+    lines.append("")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
 def write_report(path, *, cfg, rows, resume_step, zs, wall_s):
     first = rows[: max(1, len(rows) // 10)]
     last = rows[-max(1, len(rows) // 10):]
@@ -296,42 +481,71 @@ def write_report(path, *, cfg, rows, resume_step, zs, wall_s):
         f.write("\n".join(lines))
 
 
+# per-family defaults for flags left unset (None)
+_FAMILY_DEFAULTS = {
+    # windows = caption windows per class (clip) / list repeats (mae)
+    "clip": dict(model="CLIP_VITB16_H128", classes=32, windows=64,
+                 batch=32, epochs=6, lr=1e-4, preempt_step=150,
+                 report="docs/E2E.md"),
+    # mae base lr is scaled by batch/256 inside the entry:
+    # 1.6e-2 * 16/256 = 1e-3 effective
+    "videomae": dict(model="VIDEOMAE_VITB16_H128", classes=16, windows=64,
+                     batch=16, epochs=3, lr=1.6e-2, preempt_step=80,
+                     report="docs/E2E_VIDEOMAE.md"),
+}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--classes", type=int, default=32)
-    p.add_argument("--windows", type=int, default=64)
-    p.add_argument("--batch", type=int, default=32)
-    p.add_argument("--epochs", type=int, default=6)
-    p.add_argument("--model", default="CLIP_VITB16_H128")
-    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--family", choices=("clip", "videomae"), default="clip")
+    p.add_argument("--classes", type=int, default=None,
+                   help="distinct seeded videos (clip: classes w/ "
+                        "captions; videomae: videos)")
+    p.add_argument("--windows", type=int, default=None)
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--model", default=None)
+    p.add_argument("--lr", type=float, default=None)
     p.add_argument("--workers", type=int,
                    default=max(1, (os.cpu_count() or 1) - 1))
-    p.add_argument("--preempt-step", type=int, default=150,
-                   help="send SIGTERM once this step is logged")
-    p.add_argument("--out", default="/tmp/avion_e2e")
-    p.add_argument("--report", default="docs/E2E.md")
+    p.add_argument("--preempt-step", type=int, default=None,
+                   help="send SIGTERM once this step is logged; "
+                        "0 disables the preemption drill")
+    p.add_argument("--out", default=None)
+    p.add_argument("--report", default=None)
     p.add_argument("--extra", nargs="*", default=[],
                    help="extra section.key=value overrides for the entry")
     args = p.parse_args(argv)
+    for k, v in _FAMILY_DEFAULTS[args.family].items():
+        if getattr(args, k) is None:
+            setattr(args, k, v)
+    if args.out is None:
+        args.out = ("/tmp/avion_e2e" if args.family == "clip"
+                    else "/tmp/avion_e2e_mae")
 
     t0 = time.monotonic()
     root = osp.join(args.out, "data")
     run_dir = osp.join(args.out, "run")
     os.makedirs(run_dir, exist_ok=True)
     ts = time.monotonic()
-    meta = make_class_dataset(root, args.classes, args.windows)
+    if args.family == "clip":
+        meta = make_class_dataset(root, args.classes, args.windows)
+    else:
+        meta = make_mae_dataset(root, args.classes, args.windows)
     print(f"[e2e] dataset ready in {time.monotonic() - ts:.0f}s",
           file=sys.stderr)
 
     log_path = osp.join(args.out, "train_stdout.log")
     common = dict(model=args.model, batch=args.batch, epochs=args.epochs,
                   workers=args.workers, lr=args.lr, log_path=log_path,
-                  extra=tuple(args.extra))
-    # phase A: train until the preemption drill fires
-    rc = launch_training(root, meta, run_dir,
-                         preempt_after_steps=args.preempt_step, **common)
-    print(f"[e2e] phase A (preempted) rc={rc}", file=sys.stderr)
-    resume_step = _last_step(osp.join(run_dir, "log.jsonl"))
+                  extra=tuple(args.extra), family=args.family)
+    resume_step = 0
+    if args.preempt_step:
+        # phase A: train until the preemption drill fires
+        rc = launch_training(root, meta, run_dir,
+                             preempt_after_steps=args.preempt_step, **common)
+        print(f"[e2e] phase A (preempted) rc={rc}", file=sys.stderr)
+        resume_step = _last_step(osp.join(run_dir, "log.jsonl"))
     # phase B: same command line — auto-resume to completion
     rc = launch_training(root, meta, run_dir, **common)
     if rc != 0:
@@ -340,16 +554,21 @@ def main(argv=None):
           file=sys.stderr)
 
     rows = read_log(run_dir)
-    zs = zero_shot_sweep(root, run_dir, model_name=args.model,
-                         batch=args.batch, n_classes=args.classes,
-                         extra=tuple(args.extra))
-    cfg = {"model": args.model, "classes": args.classes,
-           "windows_per_class": args.windows, "batch": args.batch,
-           "epochs": args.epochs, "lr": args.lr, "workers": args.workers,
-           "preempt_step": args.preempt_step}
-    write_report(args.report, cfg=cfg, rows=rows, resume_step=resume_step,
-                 zs=zs, wall_s=time.monotonic() - t0)
-    summary = {"metric": "e2e_convergence", **cfg,
+    if args.family == "clip":
+        zs = zero_shot_sweep(root, run_dir, model_name=args.model,
+                             batch=args.batch, n_classes=args.classes,
+                             extra=tuple(args.extra))
+    else:
+        zs = mae_eval(root, run_dir, batch=args.batch,
+                      n_videos=args.classes)
+    cfg = {"family": args.family, "model": args.model,
+           "classes": args.classes, "windows_per_class": args.windows,
+           "batch": args.batch, "epochs": args.epochs, "lr": args.lr,
+           "workers": args.workers, "preempt_step": args.preempt_step}
+    report = write_report if args.family == "clip" else write_report_mae
+    report(args.report, cfg=cfg, rows=rows, resume_step=resume_step,
+           zs=zs, wall_s=time.monotonic() - t0)
+    summary = {"metric": f"e2e_convergence_{args.family}", **cfg,
                "steps_logged": len(rows), "resume_step": resume_step,
                "final_loss": rows[-1]["loss"] if rows else None, **zs}
     print(json.dumps(summary))

@@ -346,23 +346,53 @@ def main():
         # loop fed from pre-decoded batches (decode CPU excluded): the
         # duty a host with enough decode cores reaches — its residual
         # is the tunnel H2D floor on this CI host (docs/PERF.md).
-        try:
-            from avion_tpu.tools.bench_pipeline import live_segment
+        #
+        # Runs as a SUBPROCESS with retries: the tunnel occasionally
+        # drops a remote_compile mid-flight, and a wedged backend from
+        # a failed attempt must not poison this process's chip handle
+        # (or cost the round its duty fields).
+        import tempfile
 
-            live = live_segment(model_name=model_name, batch=64, steps=10,
-                                replay=True)
+        live = None
+        live_root = os.path.join(tempfile.gettempdir(), "avion_bench_pipe")
+        cmd = [sys.executable, "-m", "avion_tpu.tools.bench_pipeline",
+               "--model", model_name, "--batch", "64", "--steps", "10",
+               "--replay", "--root", live_root]
+        for attempt in range(3):
+            if attempt:
+                wait_for_chip(max_wait_s=600.0)
+            try:
+                r = subprocess.run(cmd, capture_output=True, timeout=1500)
+            except subprocess.TimeoutExpired:
+                print(f"live duty attempt {attempt + 1} timed out",
+                      file=sys.stderr)
+                continue
+            sys.stderr.write(r.stderr.decode(errors="replace")[-2000:])
+            if r.returncode == 0:
+                try:
+                    line = [l for l in r.stdout.decode().splitlines()
+                            if l.strip().startswith("{")][-1]
+                    live = json.loads(line)
+                    break
+                except (IndexError, ValueError) as e:
+                    print(f"live duty attempt {attempt + 1}: unparseable "
+                          f"output ({e})", file=sys.stderr)
+            else:
+                print(f"live duty attempt {attempt + 1} failed "
+                      f"rc={r.returncode}", file=sys.stderr)
+        if live is not None:
             result["duty_cycle"] = live["duty_cycle"]
-            result["e2e_clips_per_sec"] = live["e2e_clips_per_sec"]
-            result["data_stall_ms"] = live["data_stall_ms"]
+            result["e2e_clips_per_sec"] = live["value"]
+            result["data_stall_ms"] = round(live["data_time_s"] * 1e3, 1)
             result["decode_clips_per_sec_per_core"] = live.get(
                 "decode_clips_per_sec_per_core")
             result["host_cores"] = live["host_cores"]
-            result["live_batch"] = live["live_batch"]
+            result["live_batch"] = live.get("live_batch", 64)
             if "replay_pre_decoded" in live:
                 result["replay_duty_cycle"] = (
                     live["replay_pre_decoded"]["duty_cycle"])
-        except Exception as e:
-            print(f"live duty segment failed: {type(e).__name__}: {e}",
+        else:
+            print("live duty segment failed after 3 attempts",
                   file=sys.stderr)
     print(json.dumps(result))
     if default_run and os.environ.get("AVION_BENCH_SKIP_EXTRA") != "1" \

@@ -30,23 +30,30 @@ def test_bench_main_contract(capsys, monkeypatch, tmp_path):
 
     monkeypatch.setattr(bench, "bench_batch", fake_bench_batch)
 
-    # fake the live duty segment + the videomae extra row (the real
-    # ones build datasets and compile models — not for a CI smoke)
-    import avion_tpu.tools.bench_pipeline as bp
+    # fake the live duty segment (now a retried SUBPROCESS of
+    # tools/bench_pipeline) + the videomae extra row (the real ones
+    # build datasets and compile models — not for a CI smoke)
     import avion_tpu.tools.bench_videomae as bv
 
-    def fake_live_segment(model_name="CLIP_VITB16", batch=64, steps=10,
-                          replay=False, **kw):
-        return {"e2e_clips_per_sec": 21.0, "duty_cycle": 0.105,
-                "data_stall_ms": 2713.0, "step_time_s": 0.319,
-                "live_batch": batch, "live_steps": steps, "host_cores": 1,
-                "loss": 4.1, "decode_clips_per_sec_per_core": 23.1,
-                "replay_pre_decoded": {"clips_per_sec": 180.0,
-                                       "duty_cycle": 0.91,
-                                       "data_time_s": 0.1,
-                                       "step_time_s": 1.0}}
+    live_json = json.dumps({
+        "metric": "pipeline_clips_per_sec_e2e", "value": 21.0,
+        "duty_cycle": 0.105, "data_time_s": 2.713, "step_time_s": 0.319,
+        "decode_clips_per_sec_per_core": 23.1, "host_cores": 1,
+        "live_batch": 64, "loss": 4.1,
+        "replay_pre_decoded": {"clips_per_sec": 180.0, "duty_cycle": 0.91,
+                               "data_time_s": 0.1, "step_time_s": 1.0}})
 
-    monkeypatch.setattr(bp, "live_segment", fake_live_segment)
+    class _FakeCompleted:
+        returncode = 0
+        stdout = (live_json + "\n").encode()
+        stderr = b"[probe] fused decode: 23.1 clips/s/core\n"
+
+    def fake_run(cmd, capture_output=True, timeout=None):
+        assert any("bench_pipeline" in str(c) for c in cmd)
+        assert "--replay" in cmd
+        return _FakeCompleted()
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
     monkeypatch.setattr(bv, "bench", lambda b, model_name=None: 353.6)
     extra_path = tmp_path / "BENCH_EXTRA.json"
     monkeypatch.setenv("AVION_BENCH_EXTRA_PATH", str(extra_path))

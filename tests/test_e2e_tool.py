@@ -81,3 +81,47 @@ def test_make_class_dataset_layout(tmp_path):
     fa = a.get_batch([10])[0].astype(np.int32)
     fb = b.get_batch([10])[0].astype(np.int32)
     assert np.abs(fa - fb).mean() > 20
+
+
+def test_make_mae_dataset_layout(tmp_path):
+    from avion_tpu.data.video_reader import native_available
+    from avion_tpu.tools.e2e_convergence import make_mae_dataset
+
+    if not native_available():
+        pytest.skip("native decode library unavailable")
+    try:
+        meta = make_mae_dataset(str(tmp_path), 2, 3, n_frames=30,
+                                w=128, h=96)
+    except Exception:
+        pytest.skip("libx264 encoder unavailable")
+    lines = open(meta).read().strip().splitlines()
+    assert len(lines) == 6  # 2 videos x 3 repeats
+    from avion_tpu.data.metadata import load_video_list
+
+    samples = load_video_list(meta)
+    assert {s.vid for s in samples} == {"mae000.mp4", "mae001.mp4"}
+    assert all(s.end == 30 for s in samples)
+    # seeded content differs across videos
+    from avion_tpu.data.video_reader import VideoReader
+
+    fa = VideoReader(osp.join(str(tmp_path), "mae000.mp4")).get_batch([5])[0]
+    fb = VideoReader(osp.join(str(tmp_path), "mae001.mp4")).get_batch([5])[0]
+    assert np.abs(fa.astype(np.int32) - fb.astype(np.int32)).mean() > 20
+
+
+def test_write_report_mae_summarizes(tmp_path):
+    from avion_tpu.tools.e2e_convergence import write_report_mae
+
+    rows = [{"step": i, "loss": 1.5 - i * 0.005, "perf/duty_cycle": 0.4}
+            for i in range(80)]
+    path = tmp_path / "E2E_VIDEOMAE.md"
+    write_report_mae(str(path), cfg={"model": "VIDEOMAE_TINY"}, rows=rows,
+                     resume_step=40,
+                     zs={"ckpt_step": 80, "heldout_clips": 8,
+                         "mse_init": 2.0, "mse_final": 0.5,
+                         "mse_ratio": 0.25},
+                     wall_s=60.0)
+    text = path.read_text()
+    assert "resume at step 40" in text
+    assert "0.25x" in text
+    assert "duty cycle" in text
