@@ -127,12 +127,25 @@ _FAMILY_ENTRY = {
 }
 
 
+class TrainingStalled(RuntimeError):
+    """The training child made no step progress for stall_timeout_s
+    (e.g. a wedged device tunnel) and was killed; auto-resume makes a
+    relaunch safe."""
+
+
 def launch_training(root, meta, out_dir, *, model, batch, epochs, workers,
                     lr, log_path, preempt_after_steps=None,
-                    timeout_s=3600, extra=(), family="clip",
-                    clip_length=None):
+                    timeout_s=3600, stall_timeout_s=900, extra=(),
+                    family="clip", clip_length=None):
     """Run the real training entry as a subprocess; optionally SIGTERM
-    it once log.jsonl shows >= preempt_after_steps train steps."""
+    it once log.jsonl shows >= preempt_after_steps train steps.
+
+    If no new train step lands in ``log.jsonl`` for ``stall_timeout_s``
+    (a wedged remote-device tunnel presents as an alive-but-idle
+    child), the child is killed and ``TrainingStalled`` raised — the
+    caller relaunches and orbax auto-resume continues from the last
+    checkpoint, the same elasticity loop the reference runs via
+    submitit requeue (``run_with_submit_lavila_pretrain.py:53-59``)."""
     if clip_length is None:
         clip_length = 4 if family == "clip" else 16
     family_overrides = (
@@ -155,21 +168,39 @@ def launch_training(root, meta, out_dir, *, model, batch, epochs, workers,
     jsonl = osp.join(out_dir, "log.jsonl")
     t0 = time.monotonic()
     sent = False
+    last_step = _last_step(jsonl)
+    # generous first window: startup includes dataset open + compile
+    last_progress = time.monotonic()
     try:
         while proc.poll() is None:
             time.sleep(1)
-            if time.monotonic() - t0 > timeout_s:
+            now = time.monotonic()
+
+            def _kill(reason):
                 # SIGTERM triggers the entry's checkpoint-then-exit
                 # preemption handler; escalate to SIGKILL if it stalls
+                # (a wedged tunnel can't run the save either)
                 proc.terminate()
                 try:
                     proc.wait(timeout=120)
                 except subprocess.TimeoutExpired:
                     proc.kill()
                     proc.wait()
-                raise RuntimeError("training subprocess timed out")
+                raise (TrainingStalled if reason == "stalled"
+                       else RuntimeError)(f"training subprocess {reason}")
+
+            if now - t0 > timeout_s:
+                _kill("timed out")
+            step = _last_step(jsonl)
+            if step > last_step:
+                last_step = step
+                last_progress = now
+            elif stall_timeout_s and now - last_progress > stall_timeout_s:
+                print(f"[e2e] no step progress in {stall_timeout_s:.0f}s "
+                      f"(last step {last_step}) — killing stalled child",
+                      file=sys.stderr)
+                _kill("stalled")
             if preempt_after_steps and not sent:
-                step = _last_step(jsonl)
                 if step >= preempt_after_steps:
                     print(f"[e2e] sending SIGTERM at step {step} "
                           "(preemption drill)", file=sys.stderr)
@@ -539,15 +570,26 @@ def main(argv=None):
     common = dict(model=args.model, batch=args.batch, epochs=args.epochs,
                   workers=args.workers, lr=args.lr, log_path=log_path,
                   extra=tuple(args.extra), family=args.family)
+    def launch_with_relaunch(phase, **kw):
+        # a stalled child (wedged tunnel) is killed and relaunched;
+        # orbax auto-resume continues from the last checkpoint
+        for attempt in range(3):
+            try:
+                return launch_training(root, meta, run_dir, **common, **kw)
+            except TrainingStalled as e:
+                print(f"[e2e] {phase} attempt {attempt + 1} stalled "
+                      f"({e}); relaunching", file=sys.stderr)
+        raise RuntimeError(f"{phase} stalled on every attempt")
+
     resume_step = 0
     if args.preempt_step:
         # phase A: train until the preemption drill fires
-        rc = launch_training(root, meta, run_dir,
-                             preempt_after_steps=args.preempt_step, **common)
+        rc = launch_with_relaunch(
+            "phase A", preempt_after_steps=args.preempt_step)
         print(f"[e2e] phase A (preempted) rc={rc}", file=sys.stderr)
         resume_step = _last_step(osp.join(run_dir, "log.jsonl"))
     # phase B: same command line — auto-resume to completion
-    rc = launch_training(root, meta, run_dir, **common)
+    rc = launch_with_relaunch("phase B")
     if rc != 0:
         raise RuntimeError(f"phase B failed rc={rc}; see {log_path}")
     print(f"[e2e] phase B (resumed from ~step {resume_step}) rc={rc}",

@@ -125,3 +125,46 @@ def test_write_report_mae_summarizes(tmp_path):
     assert "resume at step 40" in text
     assert "0.25x" in text
     assert "duty cycle" in text
+
+
+def test_launch_training_kills_stalled_child(tmp_path, monkeypatch):
+    """A child that stops logging steps is killed and TrainingStalled
+    raised (wedged-tunnel elasticity); the preemption SIGTERM path is
+    untouched."""
+    import avion_tpu.tools.e2e_convergence as e2e
+
+    calls = []
+
+    class FakeProc:
+        returncode = None
+
+        def poll(self):
+            return None  # never exits on its own
+
+        def terminate(self):
+            calls.append("terminate")
+
+        def kill(self):
+            calls.append("kill")
+
+        def wait(self, timeout=None):
+            if "kill" not in calls:
+                import subprocess
+
+                raise subprocess.TimeoutExpired("x", timeout)
+            FakeProc.returncode = -9
+            return -9
+
+        def send_signal(self, sig):
+            calls.append(("signal", sig))
+
+    monkeypatch.setattr(e2e.subprocess, "Popen",
+                        lambda *a, **k: FakeProc())
+    monkeypatch.setattr(e2e.time, "sleep", lambda s: None)
+    with pytest.raises(e2e.TrainingStalled):
+        e2e.launch_training(
+            str(tmp_path), "meta.pkl", str(tmp_path), model="CLIP_TINY",
+            batch=4, epochs=1, workers=1, lr=1e-4,
+            log_path=str(tmp_path / "out.log"), stall_timeout_s=0.01,
+            timeout_s=60)
+    assert "terminate" in calls and "kill" in calls
