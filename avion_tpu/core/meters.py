@@ -75,6 +75,12 @@ class StepTimer:
         # FIRST mark_window had no start point and dropped its window
         self._window_t0 = self._t0
         self._window_data0 = 0.0
+        # per-step stats of the most recently closed window: the
+        # steady-state view (cumulative averages keep the first
+        # window's compile time in every later reading; the reference
+        # prints current-window `val` beside `avg` for the same
+        # reason, meters.py:35-38)
+        self.last_window: Dict[str, float] = {}
 
     def mark_data(self):
         now = time.perf_counter()
@@ -100,6 +106,12 @@ class StepTimer:
             for _ in range(n_steps):
                 self.step_time.update(per_step)
                 self.batch_time.update(window / n_steps)
+            self.last_window = {
+                "data_time_win": data / n_steps,
+                "step_time_win": per_step,
+                "batch_time_win": window / n_steps,
+                "duty_cycle_win": max(window - data, 0.0) / window,
+            }
         self._window_t0 = now
         self._window_data0 = self.data_time.sum
         self._t0 = now
@@ -115,4 +127,5 @@ class StepTimer:
             "step_time": self.step_time.avg,
             "batch_time": self.batch_time.avg,
             "duty_cycle": self.duty_cycle,
+            **self.last_window,
         }

@@ -433,7 +433,9 @@ def write_report_mae(path, *, cfg, rows, resume_step, zs, wall_s):
     first = rows[: max(1, len(rows) // 10)]
     last = rows[-max(1, len(rows) // 10):]
     mean = lambda rs, k: float(np.mean([r[k] for r in rs if k in r]))
-    duty = [r["perf/duty_cycle"] for r in rows if "perf/duty_cycle" in r]
+    duty = [r.get("perf/duty_cycle_win", r.get("perf/duty_cycle"))
+            for r in rows
+            if "perf/duty_cycle_win" in r or "perf/duty_cycle" in r]
     curve = rows[:: max(1, len(rows) // 16)]
     lines = [
         "# E2E VideoMAE convergence run (real chip, live loader)",
@@ -474,7 +476,9 @@ def write_report(path, *, cfg, rows, resume_step, zs, wall_s):
     first = rows[: max(1, len(rows) // 10)]
     last = rows[-max(1, len(rows) // 10):]
     mean = lambda rs, k: float(np.mean([r[k] for r in rs if k in r]))
-    duty = [r["perf/duty_cycle"] for r in rows if "perf/duty_cycle" in r]
+    duty = [r.get("perf/duty_cycle_win", r.get("perf/duty_cycle"))
+            for r in rows
+            if "perf/duty_cycle_win" in r or "perf/duty_cycle" in r]
     curve = rows[:: max(1, len(rows) // 16)]
     lines = [
         "# E2E convergence run (real chip, live loader)",

@@ -198,6 +198,35 @@ def train_one_epoch(
     return last_metrics
 
 
+def finish_if_preempted(run: Run, epoch: int, metrics: Optional[dict] = None,
+                        ) -> bool:
+    """Entry-loop guard, called right after ``train_one_epoch``.
+
+    Returns True when a preemption signal fired, telling the entry to
+    break its epoch loop instead of rolling into validation, the
+    end-of-epoch save, and the next epoch (which would fetch a batch
+    and re-save a conflicting checkpoint at the same step — orbax skips
+    duplicate steps, but resume correctness must not hinge on that).
+
+    If the signal fired *during* the epoch, ``train_one_epoch`` already
+    wrote the exact mid-epoch checkpoint; if it fired at the epoch
+    boundary (after the last batch, so the in-loop save never ran),
+    save the boundary here so no completed work is replayed.  Mirrors
+    the reference's requeue flow (checkpoint in ``Trainer.checkpoint``,
+    ``run_with_submit_lavila_pretrain.py:53-59``).
+    """
+    from avion_tpu.parallel.launch import preempted
+
+    if not preempted():
+        return False
+    run.ckpt.wait()
+    latest = run.ckpt.latest_step()
+    if latest is None or latest < int(run.state.step):
+        save_epoch(run, epoch, metrics)
+        run.ckpt.wait()
+    return True
+
+
 def _jsonable(obj):
     if isinstance(obj, dict):
         return {k: _jsonable(v) for k, v in obj.items()}

@@ -30,7 +30,12 @@ from avion_tpu.data.loader import DataLoader
 from avion_tpu.models import create_model
 from avion_tpu.optim import build_optimizer
 from avion_tpu.parallel.launch import setup_host
-from avion_tpu.train.loop import save_epoch, setup_run, train_one_epoch
+from avion_tpu.train.loop import (
+    finish_if_preempted,
+    save_epoch,
+    setup_run,
+    train_one_epoch,
+)
 from avion_tpu.train.steps import make_clip_train_step
 
 
@@ -199,6 +204,8 @@ def main(argv=None):
         metrics = train_one_epoch(run, train_loader, epoch, rng)
         print(f"[epoch {epoch}] " + " ".join(
             f"{k}={v:.4f}" for k, v in metrics.items()))
+        if finish_if_preempted(run, epoch, metrics):
+            break
         eval_metrics = {}
         if cfg.eval_freq and (epoch + 1) % cfg.eval_freq == 0:
             eval_metrics = run_validation(cfg, model, run)

@@ -29,7 +29,12 @@ from avion_tpu.models import create_model
 from avion_tpu.models.narrator import caption_loss
 from avion_tpu.optim import build_optimizer
 from avion_tpu.parallel.launch import setup_host
-from avion_tpu.train.loop import save_epoch, setup_run, train_one_epoch
+from avion_tpu.train.loop import (
+    finish_if_preempted,
+    save_epoch,
+    setup_run,
+    train_one_epoch,
+)
 from avion_tpu.train.steps import _finite_or_skip, prep_video
 
 
@@ -119,6 +124,8 @@ def main(argv=None):
         metrics = train_one_epoch(run, train_loader, epoch, rng)
         print(f"[epoch {epoch}] " + " ".join(
             f"{k}={v:.4f}" for k, v in metrics.items()))
+        if finish_if_preempted(run, epoch, metrics):
+            break
         save_epoch(run, epoch, metrics)
     run.ckpt.wait()
     run.logger.finish()

@@ -24,7 +24,12 @@ from avion_tpu.models import create_model
 from avion_tpu.optim import build_optimizer
 from avion_tpu.train.augment_device import mixup_cutmix
 from avion_tpu.parallel.launch import setup_host
-from avion_tpu.train.loop import save_epoch, setup_run, train_one_epoch
+from avion_tpu.train.loop import (
+    finish_if_preempted,
+    save_epoch,
+    setup_run,
+    train_one_epoch,
+)
 from avion_tpu.train.steps import make_cls_train_step
 
 
@@ -136,6 +141,8 @@ def main(argv=None):
             break
         train_loader.set_epoch(epoch)
         metrics = train_one_epoch(run, train_loader, epoch, rng)
+        if finish_if_preempted(run, epoch, metrics):
+            break
         eval_metrics = {}
         if cfg.eval_freq and (epoch + 1) % cfg.eval_freq == 0 and d.val_metadata:
             eval_metrics = validate(cfg, model, run)

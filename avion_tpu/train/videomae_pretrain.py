@@ -20,7 +20,12 @@ from avion_tpu.data.loader import DataLoader
 from avion_tpu.models import create_model
 from avion_tpu.optim import build_optimizer
 from avion_tpu.parallel.launch import setup_host
-from avion_tpu.train.loop import save_epoch, setup_run, train_one_epoch
+from avion_tpu.train.loop import (
+    finish_if_preempted,
+    save_epoch,
+    setup_run,
+    train_one_epoch,
+)
 from avion_tpu.train.steps import make_videomae_train_step
 
 
@@ -94,6 +99,8 @@ def main(argv=None):
         metrics = train_one_epoch(run, train_loader, epoch, rng)
         print(f"[epoch {epoch}] " + " ".join(
             f"{k}={v:.4f}" for k, v in metrics.items()))
+        if finish_if_preempted(run, epoch, metrics):
+            break
         # save every save_freq epochs (reference: every 20,
         # main_videomae_pretrain.py:264-275)
         if (epoch + 1) % cfg.save_freq == 0 or epoch + 1 == cfg.optim.epochs:

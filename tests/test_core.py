@@ -69,7 +69,10 @@ def test_meters():
     assert t.step_time.avg > t.data_time.avg * 0.5
     assert 0 < t.duty_cycle <= 1.0
     stats = t.stats()
-    assert set(stats) == {"data_time", "step_time", "batch_time", "duty_cycle"}
+    # cumulative keys always present; *_win keys appear once a window
+    # has been closed by mark_window
+    assert {"data_time", "step_time", "batch_time",
+            "duty_cycle"} <= set(stats)
 
 
 def test_metric_logger_jsonl(tmp_path):
@@ -111,6 +114,12 @@ def test_steptimer_first_window_counts():
     assert s["batch_time"] > 0
     assert s["step_time"] > 0
     assert 0 < s["duty_cycle"] <= 1.0
+    # window view: last closed window only (steady-state duty, no
+    # compile pollution from earlier windows)
+    assert 0 < s["duty_cycle_win"] <= 1.0
+    assert s["batch_time_win"] > 0
+    assert abs(s["step_time_win"] + s["data_time_win"]
+               - s["batch_time_win"]) < 1e-6
 
 
 def test_profiling_helpers_smoke(tmp_path):

@@ -418,3 +418,89 @@ def test_compile_cache_disabled_on_cpu_backend(tmp_path, monkeypatch):
 
     monkeypatch.setenv("JAX_PLATFORMS", "tpu,cpu")
     assert not _cpu_backend_selected()  # first platform wins
+
+
+def test_finish_if_preempted_guards_entry_loop(tmp_path):
+    """After a preempted epoch the entry loop must stop WITHOUT writing
+    a second (conflicting) checkpoint at the same step — and a signal
+    landing exactly at the epoch boundary (after the last batch, so the
+    in-loop save never ran) must still produce a boundary checkpoint."""
+    import jax.numpy as jnp
+    import optax
+
+    from avion_tpu.core.config import TrainConfig
+    from avion_tpu.data.loader import DataLoader
+    from avion_tpu.parallel.launch import _PREEMPTED
+    from avion_tpu.train.loop import (
+        finish_if_preempted,
+        setup_run,
+        train_one_epoch,
+    )
+
+    class DS:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            return {"x": np.full((4,), i, np.float32)}
+
+    def fake_step(state, batch, rng):
+        return (state.replace(step=state.step + 1),
+                {"loss": jnp.mean(batch["x"])})
+
+    params = {"w": np.zeros((4,), np.float32)}
+    tx = optax.sgd(1e-2)
+    cfg = TrainConfig()
+    cfg.output_dir = str(tmp_path / "run")
+    cfg.auto_resume = False
+    run = setup_run(cfg, params, tx, fake_step)
+    run.step = fake_step  # skip jit for the fake step
+    loader = DataLoader(DS(), 8, num_workers=0, shuffle=False)
+
+    # mid-epoch preemption: flag flips after the 2nd processed step ->
+    # in-loop save (flipping in a transform would race the prefetch
+    # thread, which runs ahead of the step loop)
+    n = {"n": 0}
+
+    def fake_step_poke(state, batch, rng):
+        n["n"] += 1
+        if n["n"] == 2:
+            _PREEMPTED["flag"] = True
+        return fake_step(state, batch, rng)
+
+    run.step = fake_step_poke
+    try:
+        metrics = train_one_epoch(run, loader, 0, None)
+        run.ckpt.wait()
+        step_after = int(run.state.step)
+        saved = run.ckpt.latest_step()
+        assert saved == step_after  # in-loop mid-epoch save
+        _, extra = run.ckpt.restore(run.state, step=saved)
+        assert extra.get("batch_in_epoch")  # mid-epoch marker intact
+        assert finish_if_preempted(run, 0, metrics)  # entry must break
+        run.ckpt.wait()
+        # no second save happened: same step, mid-epoch extra preserved
+        assert run.ckpt.latest_step() == saved
+        _, extra2 = run.ckpt.restore(run.state, step=saved)
+        assert extra2.get("batch_in_epoch") == extra.get("batch_in_epoch")
+        assert extra2.get("epoch") == extra.get("epoch")
+    finally:
+        _PREEMPTED["flag"] = False
+
+    # boundary preemption: epoch completes, THEN the flag flips ->
+    # finish_if_preempted writes the missing boundary checkpoint
+    run.step = fake_step
+    try:
+        metrics = train_one_epoch(run, loader, 1, None)
+        _PREEMPTED["flag"] = True
+        step_after = int(run.state.step)
+        assert run.ckpt.latest_step() < step_after
+        assert finish_if_preempted(run, 1, metrics)
+        run.ckpt.wait()
+        assert run.ckpt.latest_step() == step_after
+        _, extra = run.ckpt.restore(run.state, step=step_after)
+        assert extra.get("epoch") == 2  # clean boundary: resume at next
+        assert not extra.get("batch_in_epoch")
+    finally:
+        _PREEMPTED["flag"] = False
+        run.ckpt.close()
