@@ -10,7 +10,7 @@ final checkpoint and runs a held-out evaluation.  The log (descending
 loss, measured duty cycle, resume step) is summarized into a
 ``docs/E2E*.md`` report.
 
-Two families:
+Three families:
 
 - ``--family clip`` (default): ``train/pretrain_clip.py`` on chunked
   caption windows; final held-out zero-shot retrieval sweep
@@ -19,6 +19,11 @@ Two families:
   video list (strided 16-frame clips, 90% tube masking); final
   held-out masked-reconstruction MSE, restored checkpoint vs a fresh
   init (``docs/E2E_VIDEOMAE.md``).
+- ``--family cls``: ``train/finetune_cls.py`` on an EK100-layout
+  synthetic dataset (chunked ``P00/P00_xxx.MP4/0.MP4`` videos +
+  ``actions.csv`` verb/noun label map) with device mixup/cutmix +
+  label smoothing; final held-out top-1 plus verb/noun marginalized
+  accuracy from the restored classifier (``docs/E2E_CLS.md``).
 
 Mirrors the reference's operational loop: train -> preempt/requeue
 (``run_with_submit_lavila_pretrain.py:53-59``) -> resume
@@ -121,9 +126,67 @@ def make_mae_dataset(root: str, n_videos: int, repeats: int,
     return meta
 
 
+def _sec2ts(s: float) -> str:
+    """seconds -> 'HH:MM:SS.xx' (inverse of metadata.datetime2sec)."""
+    return f"{int(s) // 3600:02d}:{int(s) % 3600 // 60:02d}:{s % 60:05.2f}"
+
+
+def make_cls_dataset(root: str, n_classes: int, windows_per_class: int,
+                     chunk_len: int = 15, fps: int = 30,
+                     w: int = 456, h: int = 256) -> str:
+    """EK100-layout synthetic classification set: chunked
+    ``root/P00/P00_xxx.MP4/0.MP4`` seeded videos (one class each),
+    ``actions.csv`` (verb/noun -> action id, ``load_actions``), a
+    train csv in the EPIC column layout (``metadata.load_ek100``), and
+    fixed held-out windows."""
+    from avion_tpu.data.video_reader import write_test_video
+
+    os.makedirs(osp.join(root, "P00"), exist_ok=True)
+    n_verbs = max(1, min(8, n_classes))
+    rows, heldout = [], []
+    actions = []
+    rs = np.random.RandomState(0)
+    for c in range(n_classes):
+        vid = f"P00_{c:03d}"
+        d = osp.join(root, "P00", vid + ".MP4")
+        os.makedirs(d, exist_ok=True)
+        path = osp.join(d, "0.MP4")
+        if not osp.exists(path):
+            write_test_video(path, chunk_len * fps, w=w, h=h, fps=fps,
+                             gop=250, bframes=3, codec="libx264",
+                             noise=True, seed=2000 + 7919 * c)
+        verb, noun = c % n_verbs, c
+        actions.append((c, verb, noun, caption_for(c).replace(" ", "_")))
+        for _ in range(windows_per_class):
+            st = float(rs.uniform(0.2, chunk_len - 2.2))
+            rows.append((vid, st, st + 2.0, verb, noun))
+        for k in range(4):
+            st = 0.5 + k * 3.0
+            heldout.append((f"P00/{vid}", st, st + 2.0, c))
+    with open(osp.join(root, "actions.csv"), "w") as f:
+        f.write("id,verb,noun,action\n")
+        for i, v, n, txt in actions:
+            f.write(f"{i},{v},{n},{txt}\n")
+    meta = osp.join(root, "train.csv")
+    with open(meta, "w") as f:
+        # column layout consumed by load_ek100: [1]=pid [2]=vid
+        # [4]=start [5]=stop [8]=narration [10]=verb [12]=noun
+        f.write("uid,participant_id,video_id,narration_timestamp,"
+                "start_timestamp,stop_timestamp,start_frame,stop_frame,"
+                "narration,verb_id_raw,verb_class,noun_raw,noun_class\n")
+        for i, (vid, st, en, verb, noun) in enumerate(rows):
+            f.write(f"{i},P00,{vid},{_sec2ts(st)},{_sec2ts(st)},"
+                    f"{_sec2ts(en)},0,0,win {i},{verb},{verb},"
+                    f"{noun},{noun}\n")
+    with open(osp.join(root, "heldout.json"), "w") as f:
+        json.dump(heldout, f)
+    return meta
+
+
 _FAMILY_ENTRY = {
     "clip": "avion_tpu.train.pretrain_clip",
     "videomae": "avion_tpu.train.videomae_pretrain",
+    "cls": "avion_tpu.train.finetune_cls",
 }
 
 
@@ -148,9 +211,20 @@ def launch_training(root, meta, out_dir, *, model, batch, epochs, workers,
     submitit requeue (``run_with_submit_lavila_pretrain.py:53-59``)."""
     if clip_length is None:
         clip_length = 4 if family == "clip" else 16
-    family_overrides = (
-        ("data.dataset=ego4d", "data.crop_size=224")
-        if family == "clip" else ())
+    if family == "clip":
+        family_overrides = ("data.dataset=ego4d", "data.crop_size=224")
+    elif family == "cls":
+        # the real finetune recipe: device mixup/cutmix + smoothing
+        # (main_lavila_finetune_cls.py:320-339); label map from the
+        # generated actions.csv
+        # vision_heads=6 = the H128 flagship head split (the classifier
+        # builder reads cfg.model fields directly, not the registry)
+        family_overrides = (
+            f"data.label_map={osp.join(root, 'actions.csv')}",
+            "data.crop_size=224", "mixup=0.8", "cutmix=1.0",
+            "model.vision_heads=6")
+    else:
+        family_overrides = ()
     cmd = [
         sys.executable, "-m", _FAMILY_ENTRY[family],
         f"model.name={model}", *family_overrides,
@@ -228,7 +302,7 @@ def _last_step(jsonl):
     return step
 
 
-def read_log(out_dir):
+def read_log(out_dir, acc_key="train/clip_acc"):
     rows = []
     with open(osp.join(out_dir, "log.jsonl")) as f:
         for line in f:
@@ -242,7 +316,7 @@ def read_log(out_dir):
         if "train/loss" not in r:
             continue
         out.append({"step": r.get("step"), "loss": r["train/loss"],
-                    "clip_acc": r.get("train/clip_acc", float("nan")),
+                    "clip_acc": r.get(acc_key, float("nan")),
                     **{k: v for k, v in r.items()
                        if k.startswith("perf/")}})
     return out
@@ -429,6 +503,142 @@ def mae_eval(root, out_dir, *, batch, n_videos, windows_per_video=2):
             "mse_ratio": round(mse_final / max(mse_init, 1e-9), 4)}
 
 
+def cls_eval(root, out_dir, *, batch, n_classes):
+    """Restore the final classifier checkpoint and measure held-out
+    top-1/top-5 plus verb/noun marginalized top-1 (the EK100-CLS eval
+    semantics, ``main_lavila_finetune_cls.py:810-955``) on fixed
+    center-crop windows."""
+    import jax
+    import jax.numpy as jnp
+
+    from avion_tpu.core.checkpoint import Checkpointer
+    from avion_tpu.core.config import TrainConfig
+    from avion_tpu.core.train_state import TrainState
+    from avion_tpu.data.sampling import get_frame_ids
+    from avion_tpu.data.transforms import center_crop_spec, normalize_video
+    from avion_tpu.data.video_reader import VideoReader
+    from avion_tpu.eval.classification_metrics import (
+        get_marginal_indexes,
+        marginalize,
+    )
+    from avion_tpu.optim import build_optimizer
+    from avion_tpu.optim.factory import apply_batch_lr_scale
+    from avion_tpu.train.finetune_cls import build_classifier, load_actions
+
+    cfg = TrainConfig.from_dict(
+        json.load(open(osp.join(out_dir, "config.json"))))
+    labels, pairs, _ = load_actions(osp.join(root, "actions.csv"))
+    model = build_classifier(cfg, len(labels))
+    d = cfg.data
+    rng = jax.random.PRNGKey(0)
+    video0 = jnp.zeros((2, d.clip_length, cfg.model.image_size,
+                        cfg.model.image_size, 3), jnp.bfloat16)
+    init_params = jax.jit(model.init)(rng, video0)["params"]
+    # mirror the entry's optimizer construction (incl. the batch LR
+    # scale it applies before build_optimizer) so the restore template
+    # matches
+    apply_batch_lr_scale(cfg.optim, d.batch_size, default_base=128)
+    tx, _ = build_optimizer(cfg.optim, init_params, 10,
+                            num_layers=cfg.model.vision_layers)
+    template = TrainState.create(init_params, tx)
+    ckpt = Checkpointer(osp.join(out_dir, "ckpt"))
+    state, _ = ckpt.restore(template)
+    assert state is not None, "no checkpoint found"
+    step = int(state.step)
+    params = jax.device_get(state.params)
+    ckpt.close()
+
+    heldout = json.load(open(osp.join(root, "heldout.json")))
+    clips, ys = [], []
+    for vid, st, en, c in heldout:
+        vr = VideoReader(osp.join(root, vid + ".MP4", "0.MP4"))
+        fps = vr.get_avg_fps() or 30.0
+        ids = get_frame_ids(int(st * fps), min(int(en * fps), len(vr)),
+                            num_segments=d.clip_length, jitter=False)
+        crop = center_crop_spec(vr.width, vr.height)
+        clips.append(vr.get_batch(ids, crop, (cfg.model.image_size,) * 2))
+        ys.append(c)
+        vr.close()
+    clips = np.stack(clips)
+    ys = np.asarray(ys)
+
+    @jax.jit
+    def logits_fn(params, video):
+        v = normalize_video(video, dtype=jnp.bfloat16)
+        return model.apply({"params": params}, v, True)
+
+    outs = []
+    for i in range(0, len(clips), batch):
+        chunk = clips[i: i + batch]
+        outs.append(np.asarray(logits_fn(params, chunk), np.float32))
+    logits = np.concatenate(outs)
+    order = np.argsort(-logits, axis=1)
+    top1 = float((order[:, 0] == ys).mean())
+    top5 = float((order[:, :5] == ys[:, None]).any(1).mean())
+    # verb/noun marginalized accuracy over the action softmax
+    probs = np.exp(logits - logits.max(1, keepdims=True))
+    probs /= probs.sum(1, keepdims=True)
+    vi = get_marginal_indexes(pairs, "verb")
+    ni = get_marginal_indexes(pairs, "noun")
+    vprob, nprob = marginalize(probs, vi), marginalize(probs, ni)
+    vy = np.asarray([pairs[c][0] for c in ys])
+    ny = np.asarray([pairs[c][1] for c in ys])
+    verb_top1 = float((vprob.argmax(1) == vy).mean())
+    noun_top1 = float((nprob.argmax(1) == ny).mean())
+    return {"ckpt_step": step, "heldout_clips": len(ys),
+            "top1": round(top1, 4), "top5": round(top5, 4),
+            "verb_top1": round(verb_top1, 4),
+            "noun_top1": round(noun_top1, 4),
+            "chance": round(1.0 / len(labels), 4)}
+
+
+def write_report_cls(path, *, cfg, rows, resume_step, zs, wall_s):
+    first = rows[: max(1, len(rows) // 10)]
+    last = rows[-max(1, len(rows) // 10):]
+    mean = lambda rs, k: float(np.mean([r[k] for r in rs if k in r]))
+    duty = [r.get("perf/duty_cycle_win", r.get("perf/duty_cycle"))
+            for r in rows
+            if "perf/duty_cycle_win" in r or "perf/duty_cycle" in r]
+    curve = rows[:: max(1, len(rows) // 16)]
+    lines = [
+        "# E2E classification-finetune convergence run (real chip)",
+        "",
+        "Produced by `python -m avion_tpu.tools.e2e_convergence "
+        "--family cls` — the real `train/finetune_cls.py` entry on an",
+        "EK100-layout synthetic dataset (chunked seeded-x264 videos,",
+        "actions.csv verb/noun label map), live worker decode, device",
+        "mixup/cutmix + label smoothing, a mid-run SIGTERM preemption +",
+        "auto-resume, and a final held-out sweep from the restored",
+        "classifier with verb/noun marginalization.",
+        "",
+        f"- config: `{json.dumps(cfg)}`",
+        f"- total wall time: {wall_s:.0f}s (1-core CI host; decode-bound)",
+        f"- steps logged: {len(rows)} (resume at step {resume_step})",
+        f"- train loss: first-10% mean {mean(first, 'loss'):.4f} -> "
+        f"last-10% mean {mean(last, 'loss'):.4f}",
+        f"- train acc1 (mixup-soft targets): {mean(first, 'clip_acc'):.2f}"
+        f" -> {mean(last, 'clip_acc'):.2f}",
+        f"- measured duty cycle (window median {np.median(duty):.3f}, "
+        f"min {min(duty):.3f}, max {max(duty):.3f} over {len(duty)} "
+        f"print windows)" if duty else "- duty cycle: n/a",
+        f"- held-out eval (chance {zs['chance']}): top-1 {zs['top1']}, "
+        f"top-5 {zs['top5']}, verb top-1 {zs['verb_top1']}, noun top-1 "
+        f"{zs['noun_top1']} over {zs['heldout_clips']} clips "
+        f"(ckpt step {zs['ckpt_step']})",
+        "",
+        "## loss curve (sampled)",
+        "",
+        "| step | loss | acc1 |",
+        "|---|---|---|",
+    ]
+    for r in curve:
+        lines.append(f"| {r.get('step', '?')} | {r['loss']:.4f} | "
+                     f"{r.get('clip_acc', float('nan')):.2f} |")
+    lines.append("")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
 def write_report_mae(path, *, cfg, rows, resume_step, zs, wall_s):
     first = rows[: max(1, len(rows) // 10)]
     last = rows[-max(1, len(rows) // 10):]
@@ -527,12 +737,19 @@ _FAMILY_DEFAULTS = {
     "videomae": dict(model="VIDEOMAE_VITB16_H128", classes=16, windows=64,
                      batch=16, epochs=3, lr=1.6e-2, preempt_step=80,
                      report="docs/E2E_VIDEOMAE.md"),
+    # cls lr is scaled by batch/128 inside the entry: 2e-3 * 16/128 =
+    # 2.5e-4 effective; 16-frame clips make the drill decode-bound so
+    # the step count stays modest
+    "cls": dict(model="CLIP_VITB16_H128", classes=16, windows=32,
+                batch=16, epochs=6, lr=2e-3, preempt_step=60,
+                report="docs/E2E_CLS.md"),
 }
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--family", choices=("clip", "videomae"), default="clip")
+    p.add_argument("--family", choices=("clip", "videomae", "cls"),
+                   default="clip")
     p.add_argument("--classes", type=int, default=None,
                    help="distinct seeded videos (clip: classes w/ "
                         "captions; videomae: videos)")
@@ -555,8 +772,9 @@ def main(argv=None):
         if getattr(args, k) is None:
             setattr(args, k, v)
     if args.out is None:
-        args.out = ("/tmp/avion_e2e" if args.family == "clip"
-                    else "/tmp/avion_e2e_mae")
+        args.out = {"clip": "/tmp/avion_e2e",
+                    "videomae": "/tmp/avion_e2e_mae",
+                    "cls": "/tmp/avion_e2e_cls"}[args.family]
 
     t0 = time.monotonic()
     root = osp.join(args.out, "data")
@@ -565,6 +783,8 @@ def main(argv=None):
     ts = time.monotonic()
     if args.family == "clip":
         meta = make_class_dataset(root, args.classes, args.windows)
+    elif args.family == "cls":
+        meta = make_cls_dataset(root, args.classes, args.windows)
     else:
         meta = make_mae_dataset(root, args.classes, args.windows)
     print(f"[e2e] dataset ready in {time.monotonic() - ts:.0f}s",
@@ -599,11 +819,15 @@ def main(argv=None):
     print(f"[e2e] phase B (resumed from ~step {resume_step}) rc={rc}",
           file=sys.stderr)
 
-    rows = read_log(run_dir)
+    rows = read_log(run_dir, acc_key=("train/acc1" if args.family == "cls"
+                                      else "train/clip_acc"))
     if args.family == "clip":
         zs = zero_shot_sweep(root, run_dir, model_name=args.model,
                              batch=args.batch, n_classes=args.classes,
                              extra=tuple(args.extra))
+    elif args.family == "cls":
+        zs = cls_eval(root, run_dir, batch=args.batch,
+                      n_classes=args.classes)
     else:
         zs = mae_eval(root, run_dir, batch=args.batch,
                       n_videos=args.classes)
@@ -611,7 +835,8 @@ def main(argv=None):
            "classes": args.classes, "windows_per_class": args.windows,
            "batch": args.batch, "epochs": args.epochs, "lr": args.lr,
            "workers": args.workers, "preempt_step": args.preempt_step}
-    report = write_report if args.family == "clip" else write_report_mae
+    report = {"clip": write_report, "videomae": write_report_mae,
+              "cls": write_report_cls}[args.family]
     report(args.report, cfg=cfg, rows=rows, resume_step=resume_step,
            zs=zs, wall_s=time.monotonic() - t0)
     summary = {"metric": f"e2e_convergence_{args.family}", **cfg,

@@ -168,3 +168,64 @@ def test_launch_training_kills_stalled_child(tmp_path, monkeypatch):
             log_path=str(tmp_path / "out.log"), stall_timeout_s=0.01,
             timeout_s=60)
     assert "terminate" in calls and "kill" in calls
+
+
+def test_sec2ts_roundtrip():
+    from avion_tpu.data.metadata import datetime2sec
+    from avion_tpu.tools.e2e_convergence import _sec2ts
+
+    for s in (0.0, 0.2, 7.25, 59.99, 60.0, 61.5, 3599.5, 3661.25):
+        assert abs(datetime2sec(_sec2ts(s)) - s) < 0.01
+
+
+def test_make_cls_dataset_layout(tmp_path):
+    from avion_tpu.data.video_reader import native_available
+    from avion_tpu.tools.e2e_convergence import make_cls_dataset
+
+    if not native_available():
+        pytest.skip("native decode library unavailable")
+    try:
+        meta = make_cls_dataset(str(tmp_path), 3, 4, w=128, h=96)
+    except Exception:
+        pytest.skip("libx264 encoder unavailable")
+    # actions.csv parses through the entry's own loader and the train
+    # csv through the EK100 metadata parser
+    from avion_tpu.data import metadata as md
+    from avion_tpu.train.finetune_cls import load_actions
+
+    labels, pairs, mapping = load_actions(
+        osp.join(str(tmp_path), "actions.csv"))
+    assert len(labels) == 3 and len(mapping) == 3
+    samples = md.load_ek100(str(tmp_path), meta)
+    assert len(samples) == 12
+    assert {s.vid for s in samples} == {
+        "P00/P00_000", "P00/P00_001", "P00/P00_002"}
+    # every sample's verb:noun maps to its class id
+    for s in samples:
+        assert f"{s.verb}:{s.noun}" in mapping
+    heldout = json.load(open(osp.join(str(tmp_path), "heldout.json")))
+    assert len(heldout) == 12
+    # chunked layout: the fps probe finds chunk 0
+    from avion_tpu.data.video_reader import VideoReader
+
+    vr = VideoReader(osp.join(str(tmp_path), "P00", "P00_000.MP4", "0.MP4"))
+    assert len(vr) > 0
+
+
+def test_write_report_cls_summarizes(tmp_path):
+    from avion_tpu.tools.e2e_convergence import write_report_cls
+
+    rows = [{"step": i, "loss": 3.0 - i * 0.01, "clip_acc": 5 + i,
+             "perf/duty_cycle_win": 0.7} for i in range(60)]
+    path = tmp_path / "E2E_CLS.md"
+    write_report_cls(str(path), cfg={"model": "CLIP_TINY"}, rows=rows,
+                     resume_step=30,
+                     zs={"ckpt_step": 60, "heldout_clips": 12,
+                         "top1": 0.9, "top5": 1.0, "verb_top1": 0.95,
+                         "noun_top1": 0.9, "chance": 0.0625},
+                     wall_s=60.0)
+    text = path.read_text()
+    assert "resume at step 30" in text
+    assert "top-1 0.9" in text
+    assert "verb top-1 0.95" in text
+    assert "chance 0.0625" in text
