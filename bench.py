@@ -9,8 +9,13 @@ save_attn_k10 (attention residuals saved for 10/12 layers; the other
 two re-run their forward kernel in the backward) — XLA memory
 analysis: temp 14.34 GB + args 1.35 GB of 16 GB HBM.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"mfu", "step_ms"}.
+Output contract: the driver parses the LAST JSON line on stdout.  The
+flagship result line is printed (and flushed) IMMEDIATELY after the
+first successful ladder run, then re-printed progressively enriched
+(live duty fields, parity geometry) as later segments complete — so a
+driver timeout at ANY point after the first ladder still captures a
+parseable record.  A global deadline (AVION_BENCH_DEADLINE_S, default
+1800 s) gates every segment, including the chip-health wait.
 
 Baseline derivation: the reference trains Ego4D ViT-B for 5 epochs over
 4.0M clips in ~130 GPU-hours on 8x A5000 (docs/MODEL_ZOO.md:52,
@@ -203,7 +208,10 @@ def wait_for_chip(max_wait_s=2100.0, probe_timeout_s=120.0,
     """
     if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
         return True
-    max_wait_s = float(os.environ.get("AVION_BENCH_MAX_WAIT_S", max_wait_s))
+    # the env hook shortens the window (tests / degraded chips); the
+    # caller's budget-derived cap always bounds it from above
+    max_wait_s = min(float(os.environ.get("AVION_BENCH_MAX_WAIT_S",
+                                          max_wait_s)), max_wait_s)
     probe = ("import jax, jax.numpy as jnp; "
              "x = jnp.ones((128, 128)); "
              "print(float((x @ x).sum()))")
@@ -232,7 +240,19 @@ def wait_for_chip(max_wait_s=2100.0, probe_timeout_s=120.0,
 
 
 def main():
-    wait_for_chip()
+    # Global deadline: r4 lost its entire perf record to a driver
+    # timeout because the single JSON line printed only at the very
+    # end.  Every segment below is budget-gated against this deadline
+    # and the driver line is (re-)printed after each completed segment.
+    t_start = time.monotonic()
+    deadline_s = float(os.environ.get("AVION_BENCH_DEADLINE_S", 1800.0))
+
+    def remaining():
+        return deadline_s - (time.monotonic() - t_start)
+
+    # chip-health wait is charged to the same budget, capped to ~1/3 of
+    # it so a wedged tunnel can't eat the measurement window
+    wait_for_chip(max_wait_s=min(2100.0, remaining() / 3.0))
     if "--selfcheck" in sys.argv:
         selfcheck()
         sys.argv.remove("--selfcheck")
@@ -314,30 +334,18 @@ def main():
                 raise
         return None
 
-    t_bench = time.monotonic()
     result = run_ladder(ladder, model_name, tag)
     if result is None:
         print(json.dumps({"metric": "clips_per_sec_per_chip_vitb16_pretrain",
                           "value": 0.0, "unit": "clips/s/chip",
-                          "vs_baseline": 0.0}))
+                          "vs_baseline": 0.0}), flush=True)
         return
+    # flagship line on the wire FIRST — the driver parses the last JSON
+    # line, so any kill from here on still records this round
+    print(json.dumps(result), flush=True)
     default_run = not explicit_model and accum == 1 and loss_type == "clip"
-    if default_run:
-        # also measure the reference's 12-head parity geometry (the
-        # weight-import architecture) and embed it in the same line;
-        # best-effort — the flagship number stands even if this fails
-        try:
-            parity = run_ladder(
-                ((256, "save_attn_k10"), (224, "save_attn")),
-                "CLIP_VITB16", "vitb16")
-            if parity is not None:
-                result["parity_metric"] = parity["metric"]
-                result["parity_value"] = parity["value"]
-                result["parity_mfu"] = parity["mfu"]
-                result["parity_vs_baseline"] = parity["vs_baseline"]
-        except Exception as e:
-            print(f"parity-geometry bench failed: {e}", file=sys.stderr)
-    if default_run and os.environ.get("AVION_BENCH_SKIP_LIVE") != "1":
+    if default_run and os.environ.get("AVION_BENCH_SKIP_LIVE") != "1" \
+            and remaining() > 180:
         # MEASURED end-to-end duty cycle: H.264 decode in worker
         # processes concurrent with jitted stepping, one live run — the
         # reference's data_time/batch_time starvation meter
@@ -350,7 +358,8 @@ def main():
         # Runs as a SUBPROCESS with retries: the tunnel occasionally
         # drops a remote_compile mid-flight, and a wedged backend from
         # a failed attempt must not poison this process's chip handle
-        # (or cost the round its duty fields).
+        # (or cost the round its duty fields).  Retries are capped by
+        # the remaining budget, not a fixed count x 1500 s.
         import tempfile
 
         live = None
@@ -359,10 +368,16 @@ def main():
                "--model", model_name, "--batch", "64", "--steps", "10",
                "--replay", "--root", live_root]
         for attempt in range(3):
+            if remaining() < 180:
+                print("live duty: budget exhausted, skipping further "
+                      "attempts", file=sys.stderr)
+                break
             if attempt:
-                wait_for_chip(max_wait_s=600.0)
+                wait_for_chip(max_wait_s=min(600.0, remaining() / 3.0))
             try:
-                r = subprocess.run(cmd, capture_output=True, timeout=1500)
+                r = subprocess.run(cmd, capture_output=True,
+                                   timeout=max(60.0, min(900.0,
+                                                         remaining() - 60.0)))
             except subprocess.TimeoutExpired:
                 print(f"live duty attempt {attempt + 1} timed out",
                       file=sys.stderr)
@@ -391,52 +406,84 @@ def main():
             if "replay_pre_decoded" in live:
                 result["replay_duty_cycle"] = (
                     live["replay_pre_decoded"]["duty_cycle"])
+            # enriched line supersedes the flagship-only one
+            print(json.dumps(result), flush=True)
         else:
-            print("live duty segment failed after 3 attempts",
-                  file=sys.stderr)
-    print(json.dumps(result))
-    if default_run and os.environ.get("AVION_BENCH_SKIP_EXTRA") != "1" \
-            and time.monotonic() - t_bench < 1500:
+            print("live duty segment did not complete", file=sys.stderr)
+    if default_run and remaining() > 150:
+        # the reference's 12-head parity geometry (the weight-import
+        # architecture), embedded in the same line; best-effort — the
+        # flagship number stands even if this fails
+        try:
+            parity = run_ladder(
+                ((256, "save_attn_k10"), (224, "save_attn")),
+                "CLIP_VITB16", "vitb16")
+            if parity is not None:
+                result["parity_metric"] = parity["metric"]
+                result["parity_value"] = parity["value"]
+                result["parity_mfu"] = parity["mfu"]
+                result["parity_vs_baseline"] = parity["vs_baseline"]
+                print(json.dumps(result), flush=True)
+        except Exception as e:
+            print(f"parity-geometry bench failed: {e}", file=sys.stderr)
+    elif default_run:
+        print("parity segment skipped: budget exhausted", file=sys.stderr)
+    if default_run and os.environ.get("AVION_BENCH_SKIP_EXTRA") != "1":
         # secondary rows off the CLIP flagship path (regression canary
         # for VideoMAE + ViT-L), recorded to BENCH_EXTRA.json — kept
-        # out of stdout so the driver still sees exactly one JSON line
+        # out of stdout so the driver still sees exactly one JSON line.
+        # Each row is budget-gated and WRITTEN AS IT COMPLETES, so a
+        # timeout can't erase earlier canaries.
+        out = os.environ.get(
+            "AVION_BENCH_EXTRA_PATH",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_EXTRA.json"))
         extras = []
-        try:
-            from avion_tpu.tools import bench_videomae
 
-            b = 128
-            r = bench_videomae.bench(b, model_name="VIDEOMAE_VITB16_H128")
-            extras.append({
-                "metric": f"clips_per_sec_per_chip_videomae_vitb16_h128_b{b}",
-                "value": round(r, 2), "unit": "clips/s/chip",
-                "vs_baseline": round(
-                    r / bench_videomae.BASELINE_CLIPS_PER_SEC_PER_GPU, 3)})
-        except Exception as e:
-            print(f"videomae extra bench failed: {e}", file=sys.stderr)
-        try:
-            vitl_flops = clip_fwd_flops(patch=14, vw=1024, vl=24,
-                                        tw=768, tl=12)
-            row = run_ladder(((64, "save_attn"), (32, "save_attn")),
-                             "CLIP_VITL14_H128", "vitl14_h128",
-                             fwd_flops=vitl_flops)
-            if row is not None:
-                # ViT-L baseline: same data/epochs cost the reference
-                # 680 GPU-h vs ViT-B's 260 (docs/MODEL_ZOO.md:53-54)
-                # => 42.7 * 260/680 = 16.3 clips/s/GPU
-                vitl_base = BASELINE_CLIPS_PER_SEC_PER_GPU * 260.0 / 680.0
-                row["vs_baseline"] = round(row["value"] / vitl_base, 3)
-                extras.append(row)
-        except Exception as e:
-            print(f"vitl extra bench failed: {e}", file=sys.stderr)
-        if extras:
-            out = os.environ.get(
-                "AVION_BENCH_EXTRA_PATH",
-                os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_EXTRA.json"))
+        def flush_extras():
             with open(out, "w") as f:
                 f.write("\n".join(json.dumps(r) for r in extras) + "\n")
             print(f"wrote {len(extras)} extra rows to {out}",
                   file=sys.stderr)
+
+        if remaining() > 120:
+            try:
+                from avion_tpu.tools import bench_videomae
+
+                b = 128
+                r = bench_videomae.bench(b, model_name="VIDEOMAE_VITB16_H128")
+                extras.append({
+                    "metric":
+                        f"clips_per_sec_per_chip_videomae_vitb16_h128_b{b}",
+                    "value": round(r, 2), "unit": "clips/s/chip",
+                    "vs_baseline": round(
+                        r / bench_videomae.BASELINE_CLIPS_PER_SEC_PER_GPU,
+                        3)})
+                flush_extras()
+            except Exception as e:
+                print(f"videomae extra bench failed: {e}", file=sys.stderr)
+        else:
+            print("videomae extra skipped: budget exhausted",
+                  file=sys.stderr)
+        if remaining() > 120:
+            try:
+                vitl_flops = clip_fwd_flops(patch=14, vw=1024, vl=24,
+                                            tw=768, tl=12)
+                row = run_ladder(((64, "save_attn"), (32, "save_attn")),
+                                 "CLIP_VITL14_H128", "vitl14_h128",
+                                 fwd_flops=vitl_flops)
+                if row is not None:
+                    # ViT-L baseline: same data/epochs cost the reference
+                    # 680 GPU-h vs ViT-B's 260 (docs/MODEL_ZOO.md:53-54)
+                    # => 42.7 * 260/680 = 16.3 clips/s/GPU
+                    vitl_base = BASELINE_CLIPS_PER_SEC_PER_GPU * 260.0 / 680.0
+                    row["vs_baseline"] = round(row["value"] / vitl_base, 3)
+                    extras.append(row)
+                    flush_extras()
+            except Exception as e:
+                print(f"vitl extra bench failed: {e}", file=sys.stderr)
+        else:
+            print("vitl extra skipped: budget exhausted", file=sys.stderr)
 
 
 if __name__ == "__main__":
