@@ -142,7 +142,13 @@ def make_cls_dataset(root: str, n_classes: int, windows_per_class: int,
     from avion_tpu.data.video_reader import write_test_video
 
     os.makedirs(osp.join(root, "P00"), exist_ok=True)
+    # distinct, coprime-ish verb/noun pool sizes so BOTH marginalized
+    # evals aggregate multiple actions per class (noun == action id
+    # would make noun-marginalized top-1 identical to action top-1);
+    # (verb, noun) pairs stay unique for n_classes <= lcm(8, 5) = 40
     n_verbs = max(1, min(8, n_classes))
+    n_nouns = max(1, min(5, n_classes))
+    assert n_classes <= 40, "verb/noun pair uniqueness needs lcm(8,5)=40"
     rows, heldout = [], []
     actions = []
     rs = np.random.RandomState(0)
@@ -155,7 +161,7 @@ def make_cls_dataset(root: str, n_classes: int, windows_per_class: int,
             write_test_video(path, chunk_len * fps, w=w, h=h, fps=fps,
                              gop=250, bframes=3, codec="libx264",
                              noise=True, seed=2000 + 7919 * c)
-        verb, noun = c % n_verbs, c
+        verb, noun = c % n_verbs, c % n_nouns
         actions.append((c, verb, noun, caption_for(c).replace(" ", "_")))
         for _ in range(windows_per_class):
             st = float(rs.uniform(0.2, chunk_len - 2.2))
@@ -574,7 +580,10 @@ def cls_eval(root, out_dir, *, batch, n_classes):
     logits = np.concatenate(outs)
     order = np.argsort(-logits, axis=1)
     top1 = float((order[:, 0] == ys).mean())
-    top5 = float((order[:, :5] == ys[:, None]).any(1).mean())
+    # with --classes <= 5, top-5 would be trivially 1.0 — clamp k and
+    # report it so the metric stays meaningful
+    topk_k = min(5, n_classes)
+    topk = float((order[:, :topk_k] == ys[:, None]).any(1).mean())
     # verb/noun marginalized accuracy over the action softmax
     probs = np.exp(logits - logits.max(1, keepdims=True))
     probs /= probs.sum(1, keepdims=True)
@@ -586,7 +595,8 @@ def cls_eval(root, out_dir, *, batch, n_classes):
     verb_top1 = float((vprob.argmax(1) == vy).mean())
     noun_top1 = float((nprob.argmax(1) == ny).mean())
     return {"ckpt_step": step, "heldout_clips": len(ys),
-            "top1": round(top1, 4), "top5": round(top5, 4),
+            "top1": round(top1, 4), "topk": round(topk, 4),
+            "topk_k": topk_k,
             "verb_top1": round(verb_top1, 4),
             "noun_top1": round(noun_top1, 4),
             "chance": round(1.0 / len(labels), 4)}
@@ -622,7 +632,8 @@ def write_report_cls(path, *, cfg, rows, resume_step, zs, wall_s):
         f"min {min(duty):.3f}, max {max(duty):.3f} over {len(duty)} "
         f"print windows)" if duty else "- duty cycle: n/a",
         f"- held-out eval (chance {zs['chance']}): top-1 {zs['top1']}, "
-        f"top-5 {zs['top5']}, verb top-1 {zs['verb_top1']}, noun top-1 "
+        f"top-{zs.get('topk_k', 5)} {zs.get('topk', zs.get('top5'))}, "
+        f"verb top-1 {zs['verb_top1']}, noun top-1 "
         f"{zs['noun_top1']} over {zs['heldout_clips']} clips "
         f"(ckpt step {zs['ckpt_step']})",
         "",

@@ -179,15 +179,15 @@ def test_sec2ts_roundtrip():
 
 
 def test_make_cls_dataset_layout(tmp_path):
-    from avion_tpu.data.video_reader import native_available
+    from avion_tpu.data.video_reader import DecodeError, native_available
     from avion_tpu.tools.e2e_convergence import make_cls_dataset
 
     if not native_available():
         pytest.skip("native decode library unavailable")
     try:
         meta = make_cls_dataset(str(tmp_path), 3, 4, w=128, h=96)
-    except Exception:
-        pytest.skip("libx264 encoder unavailable")
+    except DecodeError:  # only the encoder-unavailable signal skips;
+        pytest.skip("libx264 encoder unavailable")  # real bugs fail
     # actions.csv parses through the entry's own loader and the train
     # csv through the EK100 metadata parser
     from avion_tpu.data import metadata as md
@@ -221,11 +221,13 @@ def test_write_report_cls_summarizes(tmp_path):
     write_report_cls(str(path), cfg={"model": "CLIP_TINY"}, rows=rows,
                      resume_step=30,
                      zs={"ckpt_step": 60, "heldout_clips": 12,
-                         "top1": 0.9, "top5": 1.0, "verb_top1": 0.95,
+                         "top1": 0.9, "topk": 1.0, "topk_k": 5,
+                         "verb_top1": 0.95,
                          "noun_top1": 0.9, "chance": 0.0625},
                      wall_s=60.0)
     text = path.read_text()
     assert "resume at step 30" in text
     assert "top-1 0.9" in text
+    assert "top-5 1.0" in text
     assert "verb top-1 0.95" in text
     assert "chance 0.0625" in text
