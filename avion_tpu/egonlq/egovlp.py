@@ -23,9 +23,10 @@ Checkpoint import (``import_egovlp_state``) consumes the torch
 reference's ``state_dict_data_parallel_fix``), including the
 zeros-fill temporal-embedding inflation of ``model.py:297-339``.
 
-Text tokenization is the caller's concern: RoBERTa ids come from a
-local HuggingFace tokenizer directory (``transformers.AutoTokenizer``)
-or any pre-tokenized int array — this sandbox has no hub access.
+Text tokenization runs in-repo: ``data/roberta_tokenizer.py`` loads a
+local HF-format directory (vocab.json + merges.txt — no hub access)
+and plugs into ``tokenizer=`` here; any HF ``AutoTokenizer`` or
+pre-tokenized int array works too (``text_features_from_ids``).
 """
 
 from __future__ import annotations
@@ -288,23 +289,37 @@ def import_egovlp_state(sd: dict, *, num_frames: int = 4,
             "vid_proj": proj("vid_proj"), "txt_proj": proj("txt_proj")}
 
 
-def load_egovlp_checkpoint(path: str, *, num_frames: int = 4):
+def load_egovlp_checkpoint(path: str, *, num_frames: int = 4,
+                           heads: int | None = None):
     """Load a released EgoVLP ``.pth``/``.pt`` checkpoint and return
     ``(model, params)`` (``models/pt_import.load_pt_state_dict`` handles
-    the 'state_dict'/'module.' wrapping)."""
+    the 'state_dict'/'module.' wrapping).  Depth, width, projection
+    dim, vocab and position-table sizes are inferred from the state
+    dict, so resized checkpoints load too; ``heads`` falls back to the
+    ViT convention width/64 (12 for the released roberta-base-width
+    models)."""
     from avion_tpu.models.pt_import import load_pt_state_dict
 
     sd = load_pt_state_dict(path)
-    params = import_egovlp_state(sd, num_frames=num_frames)
+    layers = 1 + max(int(k.split(".")[2]) for k in sd
+                     if k.startswith("video_model.blocks."))
+    text_layers = 1 + max(int(k.split(".")[3]) for k in sd
+                          if k.startswith("text_model.encoder.layer."))
+    params = import_egovlp_state(sd, num_frames=num_frames,
+                                 layers=layers, text_layers=text_layers)
     n_spatial = params["video_model"]["pos_embed"].shape[0] - 1
     patch = 16
     image_size = int(np.sqrt(n_spatial)) * patch
+    width = params["video_model"]["pos_embed"].shape[-1]
+    vocab, _ = params["text_model"]["word_embeddings"]["embedding"].shape
+    max_positions = (
+        params["text_model"]["position_embeddings"]["embedding"].shape[0])
+    projection_dim = params["vid_proj"]["fc2"]["kernel"].shape[-1]
     model = FrozenInTime(
-        num_frames=num_frames, image_size=image_size,
-        layers=sum(1 for k in params["video_model"]
-                   if k.startswith("blocks_")),
-        text_layers=sum(1 for k in params["text_model"]
-                        if k.startswith("layer_")))
+        num_frames=num_frames, image_size=image_size, width=width,
+        heads=heads or max(1, width // 64), layers=layers,
+        text_layers=text_layers, projection_dim=projection_dim,
+        vocab_size=vocab, max_positions=max_positions)
     return model, params
 
 

@@ -4,6 +4,8 @@ reference semantics (egonlq/model/model.py FrozenInTime,
 model/video_transformer.py SpaceTimeTransformer, RoBERTa text tower).
 """
 
+import os.path as osp
+
 import numpy as np
 import pytest
 
@@ -320,6 +322,63 @@ def test_egovlp_extractor_to_dir(tmp_path):
     ex.extract_to_dir(samples, str(tmp_path), str(tmp_path / "feats"))
     for i in range(2):
         z = np.load(str(tmp_path / "feats" / f"feat_{i}.npz"))
+        assert z["video"].ndim == 2 and z["video"].shape[1] == PROJ
+        assert z["text"].shape == (PROJ,)
+        assert np.isfinite(z["video"]).all() and np.isfinite(z["text"]).all()
+
+
+def test_extract_features_cli_legacy(tmp_path):
+    """`extract_features --legacy` end-to-end from RAW TEXT: released
+    .pth layout -> inferred-architecture load -> in-repo RoBERTa BPE
+    (--tokenizer-dir) -> windowed sweep -> .npz features (reference:
+    egonlq/extract_features.py + model.py:263-296)."""
+    import json as _json
+
+    cv2 = pytest.importorskip("cv2")
+
+    rs = np.random.RandomState(5)
+    sd = _make_state(rs)
+    ckpt = str(tmp_path / "egovlp.pth")
+    torch.save({"state_dict": sd}, ckpt)
+
+    # tiny tokenizer dir: ids stay < VOCAB (the fabricated text tower's
+    # embedding table); uncovered bytes fall to <unk>
+    tok_dir = tmp_path / "tok"
+    tok_dir.mkdir()
+    vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3, "<mask>": 4}
+    for ch in "abcdefghilmnoprstuwĠ":
+        vocab[ch] = len(vocab)
+    assert len(vocab) <= VOCAB
+    with open(tok_dir / "vocab.json", "w", encoding="utf-8") as f:
+        _json.dump(vocab, f, ensure_ascii=False)
+    (tok_dir / "merges.txt").write_text("#version: 0.2\n")
+
+    vw = cv2.VideoWriter(str(tmp_path / "uidZ.mp4"),
+                         cv2.VideoWriter_fourcc(*"mp4v"), 10, (48, 48))
+    for i in range(30):
+        vw.write(rs.randint(0, 255, (48, 48, 3), np.uint8))
+    vw.release()
+
+    ann = {"videos": [{"video_uid": "uidZ", "clips": [{
+        "clip_uid": "c0", "video_start_sec": 0.0, "video_end_sec": 3.0,
+        "annotations": [{"language_queries": [
+            {"query": "where is the cup", "clip_start_sec": 0.5,
+             "clip_end_sec": 1.5},
+            {"query": "what did i pour", "clip_start_sec": 1.0,
+             "clip_end_sec": 2.0}]}]}]}]}
+    ann_path = str(tmp_path / "nlq.json")
+    with open(ann_path, "w") as f:
+        _json.dump(ann, f)
+
+    from avion_tpu.egonlq.extract_features import main
+
+    out = str(tmp_path / "feats")
+    main(["--legacy", "--ckpt", ckpt, "--tokenizer-dir", str(tok_dir),
+          "--annotations", ann_path, "--video-root", str(tmp_path),
+          "--out", out, "--clip-length", str(FRAMES),
+          "--window-sec", "1.0", "--batch", "4"])
+    for i in range(2):
+        z = np.load(osp.join(out, f"feat_{i}.npz"))
         assert z["video"].ndim == 2 and z["video"].shape[1] == PROJ
         assert z["text"].shape == (PROJ,)
         assert np.isfinite(z["video"]).all() and np.isfinite(z["text"]).all()
