@@ -1,7 +1,11 @@
 """EgoNLQ training entry: VSLNet on extracted dual-encoder features.
 
 Counterpart of ``egonlq/main.py:263-407``: AdamW with linear warmup,
-span + highlight losses, R@k/IoU evaluation.
+span + highlight losses, R@k/IoU evaluation — plus the framework's
+operational envelope the reference's NLQ driver lacks: per-step JSONL
+logging (``log.jsonl``), orbax checkpointing with auto-resume, and
+SIGTERM preemption (checkpoint + clean stop), matching the other
+training entries.
 
 Usage::
 
@@ -46,6 +50,7 @@ class NLQConfig:
     batch_size: int = 32
     warmup_proportion: float = 0.0
     seed: int = 0
+    print_freq: int = 10
 
 
 def _collate(items):
@@ -114,17 +119,83 @@ def main(argv=None):
     opt_state = tx.init(params)
     step = make_train_step(model, tx, cfg.highlight_weight)
 
+    import time as _time
+
+    from avion_tpu.core.checkpoint import Checkpointer
+    from avion_tpu.core.logging import MetricLogger
+    from avion_tpu.core.meters import StepTimer
+    from avion_tpu.parallel.launch import (
+        install_preemption_handler,
+        preempted,
+    )
+
+    logger = MetricLogger(cfg.output_dir)
+    ckpt = Checkpointer(os.path.join(cfg.output_dir, "ckpt"))
+    state = {"params": params, "opt_state": opt_state}
+    restored, extra = ckpt.restore(state)
+    start_epoch = 0
+    if restored is not None:
+        state = restored
+        start_epoch = int((extra or {}).get("epoch", -1)) + 1
+        print(f"[nlq] resumed from epoch {start_epoch}")
+    params, opt_state = state["params"], state["opt_state"]
+    install_preemption_handler()
+
+    def save(epoch):
+        s = (epoch + 1) * steps_per_epoch
+        if ckpt.latest_step() == s:  # preempt right after a boundary
+            return                   # save: that step already exists
+        ckpt.save(s, {"params": params, "opt_state": opt_state},
+                  extra={"epoch": epoch})
+
     order_rng = np.random.RandomState(cfg.seed)
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch):
+        order_rng.permutation(len(train_ds))  # keep resume order aligned
+    global_step = start_epoch * steps_per_epoch
+    timer = StepTimer()
+    marked = 0
+    stop = False
+    for epoch in range(start_epoch, cfg.epochs):
         order = order_rng.permutation(len(train_ds))
         for i in range(steps_per_epoch):
+            if preempted():
+                # scheduler SIGTERM: checkpoint at the last epoch
+                # boundary and stop cleanly (auto-resume re-runs this
+                # epoch; the submitit requeue pattern,
+                # run_with_submit_lavila_pretrain.py:53-59)
+                save(epoch - 1)
+                ckpt.wait()
+                stop = True
+                break
+            t_fetch = _time.perf_counter()
             idx = order[i * cfg.batch_size : (i + 1) * cfg.batch_size]
             batch = _collate([train_ds[int(j)] for j in idx])
+            timer.data_time.update(_time.perf_counter() - t_fetch)
             rng, sub = jax.random.split(rng)
             params, opt_state, metrics = step(params, opt_state, batch, sub)
+            global_step += 1
+            if (i + 1) % cfg.print_freq == 0 or i + 1 == steps_per_epoch:
+                loss = float(metrics["loss"])  # forces the chain
+                timer.mark_window(global_step - marked)
+                marked = global_step
+                logger.log(
+                    {"train/loss": loss, "train/epoch": epoch,
+                     **{f"train/{k}": float(v) for k, v in metrics.items()
+                        if k != "loss"},
+                     **{f"perf/{k}": v for k, v in timer.stats().items()}},
+                    step=global_step)
+        if stop:
+            break
         print(f"[epoch {epoch}] loss={float(metrics['loss']):.4f}")
         if cfg.val_annotations:
-            print(evaluate(cfg, model, params))
+            val = evaluate(cfg, model, params)
+            print(val)
+            logger.log({f"val/{k}": v for k, v in val.items()},
+                       step=global_step)
+        save(epoch)
+    ckpt.wait()
+    ckpt.close()
+    logger.finish()
     return params
 
 

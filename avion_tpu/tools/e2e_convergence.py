@@ -10,7 +10,7 @@ final checkpoint and runs a held-out evaluation.  The log (descending
 loss, measured duty cycle, resume step) is summarized into a
 ``docs/E2E*.md`` report.
 
-Three families:
+Four families:
 
 - ``--family clip`` (default): ``train/pretrain_clip.py`` on chunked
   caption windows; final held-out zero-shot retrieval sweep
@@ -24,6 +24,10 @@ Three families:
   ``actions.csv`` verb/noun label map) with device mixup/cutmix +
   label smoothing; final held-out top-1 plus verb/noun marginalized
   accuracy from the restored classifier (``docs/E2E_CLS.md``).
+- ``--family nlq``: ``egonlq/train_nlq.py`` (VSLNet span grounding)
+  on synthetic-but-learnable per-sample feature files; final held-out
+  R@k/IoU from the restored checkpoint vs a fresh init
+  (``docs/E2E_NLQ.md``).
 
 Mirrors the reference's operational loop: train -> preempt/requeue
 (``run_with_submit_lavila_pretrain.py:53-59``) -> resume
@@ -189,11 +193,74 @@ def make_cls_dataset(root: str, n_classes: int, windows_per_class: int,
     return meta
 
 
+def make_nlq_dataset(root: str, n_concepts: int, samples_per_concept: int,
+                     *, n_feat: int = 48, feat_hz: float = 8.0,
+                     dv: int = 64, dq: int = 32,
+                     val_per_concept: int = 4) -> str:
+    """Synthetic-but-learnable NLQ grounding set: per-sample feature
+    files (``feat_<i>.npz``: video [n_feat, dv], pooled text [dq]) plus
+    official-layout annotation jsons.  Each query concept k has a fixed
+    video-space pattern added over the GT span and a matching text
+    embedding, so VSLNet can localize the span from the query — R@k/IoU
+    must rise from init if the head trains (reference driver:
+    ``egonlq/main.py:263-407``)."""
+    rs = np.random.RandomState(0)
+    pv = rs.randn(n_concepts, dv).astype(np.float32)
+    pv /= np.linalg.norm(pv, axis=1, keepdims=True)
+    pq = rs.randn(n_concepts, dq).astype(np.float32)
+    pq /= np.linalg.norm(pq, axis=1, keepdims=True)
+    duration = n_feat / feat_hz
+
+    def split(name, per_concept):
+        feats = osp.join(root, "features" if name == "train"
+                         else "features_val")
+        os.makedirs(feats, exist_ok=True)
+        videos = []
+        idx = 0
+        for k in range(n_concepts):
+            for _ in range(per_concept):
+                span = rs.randint(n_feat // 8, n_feat // 4 + 1)
+                s = int(rs.randint(0, n_feat - span))
+                e = s + span - 1
+                video = rs.randn(n_feat, dv).astype(np.float32) * 0.5
+                video[s : e + 1] += pv[k]
+                text = pq[k] + rs.randn(dq).astype(np.float32) * 0.1
+                np.savez(osp.join(feats, f"feat_{idx}.npz"),
+                         video=video, text=text.astype(np.float32))
+                videos.append({
+                    "video_uid": f"v_{name}_{idx}",
+                    "clips": [{
+                        "clip_uid": f"c{idx}",
+                        "video_start_sec": 0.0,
+                        "video_end_sec": duration,
+                        "annotations": [{"language_queries": [{
+                            "query": f"where is concept {k}",
+                            "clip_start_sec": s / feat_hz,
+                            "clip_end_sec": (e + 1) / feat_hz,
+                        }]}],
+                    }],
+                })
+                idx += 1
+        path = osp.join(root, f"nlq_{name}.json")
+        with open(path, "w") as f:
+            json.dump({"videos": videos}, f)
+        return path
+
+    split("val", val_per_concept)
+    return split("train", samples_per_concept)
+
+
 _FAMILY_ENTRY = {
     "clip": "avion_tpu.train.pretrain_clip",
     "videomae": "avion_tpu.train.videomae_pretrain",
     "cls": "avion_tpu.train.finetune_cls",
+    "nlq": "avion_tpu.egonlq.train_nlq",
 }
+
+# VSLNet drill geometry (shared by the training subprocess and the
+# restored-checkpoint eval)
+_NLQ_DIMS = dict(dim=64, num_heads=4, max_pos_len=64,
+                 video_feature_dim=64, query_feature_dim=32)
 
 
 class TrainingStalled(RuntimeError):
@@ -231,16 +298,29 @@ def launch_training(root, meta, out_dir, *, model, batch, epochs, workers,
             "model.vision_heads=6")
     else:
         family_overrides = ()
-    cmd = [
-        sys.executable, "-m", _FAMILY_ENTRY[family],
-        f"model.name={model}", *family_overrides,
-        f"data.root={root}", f"data.train_metadata={meta}",
-        f"data.batch_size={batch}", f"data.num_workers={workers}",
-        f"data.clip_length={clip_length}",
-        f"optim.epochs={epochs}", f"optim.lr={lr}",
-        "optim.warmup_epochs=0.5", "eval_freq=0", "save_freq=1",
-        "print_freq=10", f"output_dir={out_dir}", *extra,
-    ]
+    if family == "nlq":
+        # flat key=value config (NLQConfig), features pre-extracted
+        cmd = [
+            sys.executable, "-m", _FAMILY_ENTRY["nlq"],
+            f"annotations={meta}",
+            f"feature_dir={osp.join(root, 'features')}",
+            f"val_annotations={osp.join(root, 'nlq_val.json')}",
+            f"val_feature_dir={osp.join(root, 'features_val')}",
+            f"output_dir={out_dir}", f"epochs={epochs}", f"lr={lr}",
+            f"batch_size={batch}", "print_freq=5",
+            *(f"{k}={v}" for k, v in _NLQ_DIMS.items()), *extra,
+        ]
+    else:
+        cmd = [
+            sys.executable, "-m", _FAMILY_ENTRY[family],
+            f"model.name={model}", *family_overrides,
+            f"data.root={root}", f"data.train_metadata={meta}",
+            f"data.batch_size={batch}", f"data.num_workers={workers}",
+            f"data.clip_length={clip_length}",
+            f"optim.epochs={epochs}", f"optim.lr={lr}",
+            "optim.warmup_epochs=0.5", "eval_freq=0", "save_freq=1",
+            "print_freq=10", f"output_dir={out_dir}", *extra,
+        ]
     logf = open(log_path, "ab")
     proc = subprocess.Popen(cmd, stdout=logf, stderr=subprocess.STDOUT,
                             cwd=osp.dirname(osp.dirname(osp.dirname(
@@ -602,6 +682,101 @@ def cls_eval(root, out_dir, *, batch, n_classes):
             "chance": round(1.0 / len(labels), 4)}
 
 
+def nlq_eval(root, out_dir, *, batch):
+    """R@k/IoU on the held-out NLQ split from BOTH a fresh init and the
+    RESTORED checkpoint — the drill's convergence evidence is the
+    trained-vs-init delta (reference metrics:
+    ``egonlq/utils/evaluate_ego4d_nlq.py``)."""
+    import jax
+    import optax
+
+    from avion_tpu.core.checkpoint import Checkpointer
+    from avion_tpu.egonlq.train_nlq import NLQConfig, _collate, evaluate
+    from avion_tpu.egonlq.nlq_dataset import (
+        NLQFeatureDataset,
+        parse_nlq_annotations,
+    )
+    from avion_tpu.egonlq.vslnet import VSLNet
+
+    cfg = NLQConfig(
+        annotations=osp.join(root, "nlq_train.json"),
+        val_annotations=osp.join(root, "nlq_val.json"),
+        feature_dir=osp.join(root, "features"),
+        val_feature_dir=osp.join(root, "features_val"),
+        output_dir=out_dir, batch_size=batch, **_NLQ_DIMS)
+    model = VSLNet(dim=cfg.dim, num_heads=cfg.num_heads,
+                   max_pos_len=cfg.max_pos_len,
+                   video_feature_dim=cfg.video_feature_dim,
+                   query_feature_dim=cfg.query_feature_dim,
+                   drop_rate=cfg.drop_rate, use_cq_attention=True)
+    val = NLQFeatureDataset(parse_nlq_annotations(cfg.val_annotations),
+                            cfg.val_feature_dir, cfg.max_pos_len)
+    b0 = _collate([val[0]])
+    init_params = model.init(jax.random.PRNGKey(cfg.seed), b0["video"],
+                             b0["v_mask"], b0["query"],
+                             b0["q_mask"])["params"]
+    init_metrics = evaluate(cfg, model, init_params)
+
+    # template must match the entry's saved tree (adamw over a schedule)
+    tx = optax.adamw(optax.linear_schedule(cfg.lr, 0.0, 1),
+                     weight_decay=0.01)
+    ckpt = Checkpointer(osp.join(out_dir, "ckpt"))
+    state, _ = ckpt.restore({"params": init_params,
+                             "opt_state": tx.init(init_params)})
+    assert state is not None, "no checkpoint found"
+    step = ckpt.latest_step()
+    trained = evaluate(cfg, model, state["params"])
+    ckpt.close()
+    return {"ckpt_step": int(step), "val_queries": len(val),
+            "init": {k: round(v, 2) for k, v in init_metrics.items()},
+            "trained": {k: round(v, 2) for k, v in trained.items()}}
+
+
+def write_report_nlq(path, *, cfg, rows, resume_step, zs, wall_s):
+    first = rows[: max(1, len(rows) // 10)]
+    last = rows[-max(1, len(rows) // 10):]
+    mean = lambda rs, k: float(np.mean([r[k] for r in rs if k in r]))
+    duty = [r.get("perf/duty_cycle_win", r.get("perf/duty_cycle"))
+            for r in rows
+            if "perf/duty_cycle_win" in r or "perf/duty_cycle" in r]
+    curve = rows[:: max(1, len(rows) // 16)]
+    lines = [
+        "# E2E NLQ-grounding convergence run (real chip)",
+        "",
+        "Produced by `python -m avion_tpu.tools.e2e_convergence "
+        "--family nlq` — the real `egonlq/train_nlq.py` entry (VSLNet",
+        "span localization) on synthetic-but-learnable grounding",
+        "features, a mid-run SIGTERM preemption + orbax auto-resume,",
+        "and a final held-out R@k/IoU sweep comparing the RESTORED",
+        "checkpoint against a fresh init.",
+        "",
+        f"- config: `{json.dumps(cfg)}`",
+        f"- total wall time: {wall_s:.0f}s",
+        f"- steps logged: {len(rows)} (resume at step {resume_step})",
+        f"- train loss: first-10% mean {mean(first, 'loss'):.4f} -> "
+        f"last-10% mean {mean(last, 'loss'):.4f}",
+        f"- measured duty cycle (window median {np.median(duty):.3f}, "
+        f"min {min(duty):.3f}, max {max(duty):.3f} over {len(duty)} "
+        f"print windows)" if duty else "- duty cycle: n/a",
+        f"- held-out sweep: {zs['val_queries']} queries, ckpt step "
+        f"{zs['ckpt_step']}",
+        "",
+        "## held-out R@k/IoU: fresh init vs restored checkpoint",
+        "",
+        "| metric | init | trained |",
+        "|---|---|---|",
+    ]
+    for k in zs["trained"]:
+        lines.append(f"| {k} | {zs['init'][k]} | {zs['trained'][k]} |")
+    lines += ["", "## loss curve (sampled)", "", "| step | loss |",
+              "|---|---|"]
+    for r in curve:
+        lines.append(f"| {r.get('step', '?')} | {r['loss']:.4f} |")
+    lines.append("")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
 def write_report_cls(path, *, cfg, rows, resume_step, zs, wall_s):
     first = rows[: max(1, len(rows) // 10)]
     last = rows[-max(1, len(rows) // 10):]
@@ -754,12 +929,17 @@ _FAMILY_DEFAULTS = {
     "cls": dict(model="CLIP_VITB16_H128", classes=16, windows=32,
                 batch=16, epochs=6, lr=2e-3, preempt_step=60,
                 report="docs/E2E_CLS.md"),
+    # nlq trains on pre-extracted features: classes = query concepts,
+    # windows = train samples per concept (12 steps/epoch at batch 16)
+    "nlq": dict(model="VSLNET", classes=8, windows=24,
+                batch=16, epochs=20, lr=1e-3, preempt_step=80,
+                report="docs/E2E_NLQ.md"),
 }
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--family", choices=("clip", "videomae", "cls"),
+    p.add_argument("--family", choices=("clip", "videomae", "cls", "nlq"),
                    default="clip")
     p.add_argument("--classes", type=int, default=None,
                    help="distinct seeded videos (clip: classes w/ "
@@ -785,7 +965,8 @@ def main(argv=None):
     if args.out is None:
         args.out = {"clip": "/tmp/avion_e2e",
                     "videomae": "/tmp/avion_e2e_mae",
-                    "cls": "/tmp/avion_e2e_cls"}[args.family]
+                    "cls": "/tmp/avion_e2e_cls",
+                    "nlq": "/tmp/avion_e2e_nlq"}[args.family]
 
     t0 = time.monotonic()
     root = osp.join(args.out, "data")
@@ -796,6 +977,8 @@ def main(argv=None):
         meta = make_class_dataset(root, args.classes, args.windows)
     elif args.family == "cls":
         meta = make_cls_dataset(root, args.classes, args.windows)
+    elif args.family == "nlq":
+        meta = make_nlq_dataset(root, args.classes, args.windows)
     else:
         meta = make_mae_dataset(root, args.classes, args.windows)
     print(f"[e2e] dataset ready in {time.monotonic() - ts:.0f}s",
@@ -839,6 +1022,8 @@ def main(argv=None):
     elif args.family == "cls":
         zs = cls_eval(root, run_dir, batch=args.batch,
                       n_classes=args.classes)
+    elif args.family == "nlq":
+        zs = nlq_eval(root, run_dir, batch=args.batch)
     else:
         zs = mae_eval(root, run_dir, batch=args.batch,
                       n_videos=args.classes)
@@ -847,7 +1032,7 @@ def main(argv=None):
            "batch": args.batch, "epochs": args.epochs, "lr": args.lr,
            "workers": args.workers, "preempt_step": args.preempt_step}
     report = {"clip": write_report, "videomae": write_report_mae,
-              "cls": write_report_cls}[args.family]
+              "cls": write_report_cls, "nlq": write_report_nlq}[args.family]
     report(args.report, cfg=cfg, rows=rows, resume_step=resume_step,
            zs=zs, wall_s=time.monotonic() - t0)
     summary = {"metric": f"e2e_convergence_{args.family}", **cfg,

@@ -231,3 +231,54 @@ def test_write_report_cls_summarizes(tmp_path):
     assert "top-5 1.0" in text
     assert "verb top-1 0.95" in text
     assert "chance 0.0625" in text
+
+
+def test_make_nlq_dataset_layout(tmp_path):
+    from avion_tpu.egonlq.nlq_dataset import (
+        NLQFeatureDataset,
+        parse_nlq_annotations,
+    )
+    from avion_tpu.tools.e2e_convergence import make_nlq_dataset
+
+    meta = make_nlq_dataset(str(tmp_path), 3, 4, val_per_concept=2)
+    samples = parse_nlq_annotations(meta)
+    assert len(samples) == 12
+    val_samples = parse_nlq_annotations(
+        osp.join(str(tmp_path), "nlq_val.json"))
+    assert len(val_samples) == 6
+    # features align index-for-index with the flattened sample order
+    ds = NLQFeatureDataset(samples, osp.join(str(tmp_path), "features"),
+                           max_pos_len=64)
+    it = ds[0]
+    assert it["video"].shape == (64, 64)
+    assert it["query"].shape[-1] == 32
+    # the GT span on the feature grid carries the concept pattern:
+    # span mean is well above the off-span mean for its own concept
+    s, e = int(it["start_label"]), int(it["end_label"])
+    assert 0 <= s <= e < int(it["n_features"])
+    q = it["query"][0] / np.linalg.norm(it["query"][0])
+    # video rows projected on nothing specific — just check the span
+    # region has larger norm than background on average
+    n = int(it["n_features"])
+    span_norm = np.linalg.norm(it["video"][s : e + 1], axis=1).mean()
+    off = [i for i in range(n) if i < s or i > e]
+    off_norm = np.linalg.norm(it["video"][off], axis=1).mean()
+    assert span_norm > off_norm
+
+
+def test_write_report_nlq_summarizes(tmp_path):
+    from avion_tpu.tools.e2e_convergence import write_report_nlq
+
+    rows = [{"step": i, "loss": 8.0 - i * 0.03,
+             "perf/duty_cycle_win": 0.9} for i in range(100)]
+    path = tmp_path / "E2E_NLQ.md"
+    write_report_nlq(
+        str(path), cfg={"family": "nlq"}, rows=rows, resume_step=40,
+        zs={"ckpt_step": 240, "val_queries": 32,
+            "init": {"Rank@1_mIoU@0.3": 8.0, "mIoU": 6.5},
+            "trained": {"Rank@1_mIoU@0.3": 72.0, "mIoU": 55.1}},
+        wall_s=120.0)
+    text = path.read_text()
+    assert "resume at step 40" in text
+    assert "| Rank@1_mIoU@0.3 | 8.0 | 72.0 |" in text
+    assert "| mIoU | 6.5 | 55.1 |" in text
