@@ -39,13 +39,24 @@ import numpy as np
 
 
 def synth_concepts(rng: np.random.RandomState, n_concepts: int,
-                   frames: int, size: int, block: int = 8):
+                   frames: int, size: int, block: int = 8,
+                   overlap: float = 0.0):
     """Per-concept video prototypes: random block-constant uint8
     patterns (block-constant so the signal survives patchify at any
-    patch size) + per-concept captions."""
-    blocks = rng.randint(0, 256, (n_concepts, frames, size // block,
-                                  size // block, 3), dtype=np.uint8)
-    protos = blocks.repeat(block, axis=2).repeat(block, axis=3)
+    patch size) + per-concept captions.
+
+    ``overlap`` in [0, 1) mixes a SHARED base pattern into every
+    prototype, shrinking the between-concept signal — the
+    de-saturation knob that pulls held-out top-1 off the 1.00 ceiling
+    so the A/B has discriminating power (ADVICE r3 #3)."""
+    g = size // block
+    blocks = rng.randint(0, 256, (n_concepts, frames, g, g, 3))
+    if overlap > 0.0:
+        shared = rng.randint(0, 256, (1, frames, g, g, 3))
+        blocks = (overlap * shared
+                  + (1.0 - overlap) * blocks).round().astype(np.int64)
+    protos = blocks.astype(np.uint8).repeat(block, axis=2).repeat(block,
+                                                                  axis=3)
     captions = [f"a photo of concept number {i} doing action {i}"
                 for i in range(n_concepts)]
     return protos, captions
@@ -169,7 +180,7 @@ def run_arm(heads: int, *, init_params, batches, protos, texts,
 
 def run(steps=200, batch=64, concepts=32, width=768, layers=6, frames=4,
         size=96, patch=16, sigma=25.0, lr=1e-4, heads=(12, 6),
-        heldout_per_concept=4, seed=0) -> Dict:
+        heldout_per_concept=4, seed=0, overlap=0.0) -> Dict:
     import jax
     import jax.numpy as jnp
 
@@ -178,7 +189,8 @@ def run(steps=200, batch=64, concepts=32, width=768, layers=6, frames=4,
 
     use_flash = jax.devices()[0].platform != "cpu"
     rng = np.random.RandomState(seed)
-    protos, captions = synth_concepts(rng, concepts, frames, size)
+    protos, captions = synth_concepts(rng, concepts, frames, size,
+                                      overlap=overlap)
     texts = np.stack([tokenize(c) for c in captions]).astype(np.int32)
     batches = make_batches(seed + 1, protos, texts, steps, batch, sigma)
 
@@ -208,7 +220,7 @@ def run(steps=200, batch=64, concepts=32, width=768, layers=6, frames=4,
         arms.append(r)
 
     base = arms[0]
-    summary = {"metric": "headdim_ablation", "arms": arms}
+    summary = {"metric": "headdim_ablation", "seed": seed, "arms": arms}
     if len(arms) > 1:
         summary["top1_delta_vs_first"] = [
             round(a["heldout_top1"] - base["heldout_top1"], 4)
@@ -216,6 +228,27 @@ def run(steps=200, batch=64, concepts=32, width=768, layers=6, frames=4,
         summary["loss_delta_vs_first"] = [
             round(a["final_loss"] - base["final_loss"], 4)
             for a in arms[1:]]
+    print(json.dumps(summary))
+    return summary
+
+
+def run_multi(seeds, **kw) -> Dict:
+    """The A/B over several seeds (init + batch schedule + prototypes
+    all re-drawn per seed): the per-seed top-1 deltas give the noise
+    scale the single-run delta must be judged against."""
+    runs = [run(seed=s, **kw) for s in seeds]
+    summary = {"metric": "headdim_ablation_multi", "seeds": list(seeds),
+               "runs": runs}
+    if all("top1_delta_vs_first" in r for r in runs) and len(runs) > 1:
+        deltas = np.array([r["top1_delta_vs_first"] for r in runs])
+        accs = np.array([[a["heldout_top1"] for a in r["arms"]]
+                         for r in runs])
+        summary["top1_by_arm_mean"] = [round(v, 4)
+                                       for v in accs.mean(0).tolist()]
+        summary["top1_delta_mean"] = [round(v, 4)
+                                      for v in deltas.mean(0).tolist()]
+        summary["top1_delta_std"] = [round(v, 4)
+                                     for v in deltas.std(0).tolist()]
     print(json.dumps(summary))
     return summary
 
@@ -238,11 +271,21 @@ def main(argv=None):
     p.add_argument("--heads", type=int, nargs="+", default=[12, 6])
     p.add_argument("--heldout", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seeds", type=int, nargs="+", default=None,
+                   help="run the full A/B once per seed and report "
+                        "delta mean/std across seeds")
+    p.add_argument("--overlap", type=float, default=0.0,
+                   help="0..1: mix a shared base into every concept "
+                        "prototype (harder, de-saturated eval)")
     a = p.parse_args(argv)
-    run(steps=a.steps, batch=a.batch, concepts=a.concepts, width=a.width,
-        layers=a.layers, frames=a.frames, size=a.size, patch=a.patch,
-        sigma=a.sigma, lr=a.lr, heads=tuple(a.heads),
-        heldout_per_concept=a.heldout, seed=a.seed)
+    kw = dict(steps=a.steps, batch=a.batch, concepts=a.concepts,
+              width=a.width, layers=a.layers, frames=a.frames, size=a.size,
+              patch=a.patch, sigma=a.sigma, lr=a.lr, heads=tuple(a.heads),
+              heldout_per_concept=a.heldout, overlap=a.overlap)
+    if a.seeds:
+        run_multi(a.seeds, **kw)
+    else:
+        run(seed=a.seed, **kw)
     return 0
 
 

@@ -38,3 +38,26 @@ def test_ablation_two_arms(capsys):
     d0 = abs(summary["arms"][0]["first_loss"]
              - summary["arms"][1]["first_loss"])
     assert d0 < 1.0, d0
+
+
+def test_overlap_shrinks_between_concept_signal():
+    rng = np.random.RandomState(0)
+    p0, _ = synth_concepts(rng, 6, 2, 32, overlap=0.0)
+    rng = np.random.RandomState(0)
+    p9, _ = synth_concepts(rng, 6, 2, 32, overlap=0.9)
+    spread = lambda p: np.abs(
+        p.astype(np.int32)[:, None] - p.astype(np.int32)[None, :]).mean()
+    assert spread(p9) < spread(p0) * 0.5
+
+
+def test_run_multi_aggregates(capsys):
+    from avion_tpu.tools.headdim_ablation import run_multi
+
+    s = run_multi([0, 1], steps=4, batch=8, concepts=4, width=64,
+                  layers=2, frames=2, size=32, patch=16, heads=(4, 2),
+                  heldout_per_concept=2, sigma=40.0, overlap=0.5)
+    assert s["metric"] == "headdim_ablation_multi"
+    assert len(s["runs"]) == 2
+    assert len(s["top1_delta_mean"]) == 1
+    assert len(s["top1_delta_std"]) == 1
+    assert s["top1_by_arm_mean"][0] <= 1.0
