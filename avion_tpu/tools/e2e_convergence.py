@@ -10,7 +10,7 @@ final checkpoint and runs a held-out evaluation.  The log (descending
 loss, measured duty cycle, resume step) is summarized into a
 ``docs/E2E*.md`` report.
 
-Four families:
+Five families:
 
 - ``--family clip`` (default): ``train/pretrain_clip.py`` on chunked
   caption windows; final held-out zero-shot retrieval sweep
@@ -24,6 +24,11 @@ Four families:
   ``actions.csv`` verb/noun label map) with device mixup/cutmix +
   label smoothing; final held-out top-1 plus verb/noun marginalized
   accuracy from the restored classifier (``docs/E2E_CLS.md``).
+- ``--family mir``: ``train/finetune_mir.py`` (max-margin ranking
+  over relevancy-sampled captions) on an EK100-MIR-layout synthetic
+  dataset (sentence tables + graded relevancy pickles); final
+  held-out retrieval mAP/nDCG from the restored checkpoint vs a
+  fresh init (``docs/E2E_MIR.md``).
 - ``--family nlq``: ``egonlq/train_nlq.py`` (VSLNet span grounding)
   on synthetic-but-learnable per-sample feature files; final held-out
   R@k/IoU from the restored checkpoint vs a fresh init
@@ -193,6 +198,78 @@ def make_cls_dataset(root: str, n_classes: int, windows_per_class: int,
     return meta
 
 
+def make_mir_dataset(root: str, n_classes: int, windows_per_class: int,
+                     chunk_len: int = 15, fps: int = 30,
+                     w: int = 456, h: int = 256,
+                     heldout_per_class: int = 3) -> str:
+    """EK100-MIR layout: chunked ``root/P00/P00_xxx.MP4/0.MP4`` seeded
+    videos (one class each), ``train.csv``/``test.csv`` in the EPIC
+    column layout, ``*_sentence.csv`` caption tables and graded
+    relevancy pickles under ``relevancy/`` (the file set
+    ``metadata.load_ek100_mir_extras`` consumes; reference:
+    ``clip_dataset.py:240-270``).  Relevancy grades: 1.0 same class,
+    0.25 same verb (above the 0.1 sampling threshold, so training also
+    draws same-verb captions the way EPIC's soft relevancy does)."""
+    import csv as _csv
+
+    from avion_tpu.data.video_reader import write_test_video
+
+    os.makedirs(osp.join(root, "P00"), exist_ok=True)
+    os.makedirs(osp.join(root, "relevancy"), exist_ok=True)
+    n_verbs = max(1, min(8, n_classes))
+    captions = [caption_for(c) for c in range(n_classes)]
+    rs = np.random.RandomState(0)
+    for c in range(n_classes):
+        d = osp.join(root, "P00", f"P00_{c:03d}.MP4")
+        os.makedirs(d, exist_ok=True)
+        path = osp.join(d, "0.MP4")
+        if not osp.exists(path):
+            write_test_video(path, chunk_len * fps, w=w, h=h, fps=fps,
+                             gop=250, bframes=3, codec="libx264",
+                             noise=True, seed=3000 + 7919 * c)
+
+    header = ("uid,participant_id,video_id,narration_timestamp,"
+              "start_timestamp,stop_timestamp,start_frame,stop_frame,"
+              "narration,verb_id_raw,verb_class,noun_raw,noun_class"
+              ).split(",")
+
+    def write_split(name, per_class, fixed):
+        rows = []
+        for c in range(n_classes):
+            for k in range(per_class):
+                st = (0.5 + k * 3.0 if fixed
+                      else float(rs.uniform(0.2, chunk_len - 2.2)))
+                rows.append((c, f"P00_{c:03d}", st, st + 2.0))
+        csv_path = osp.join(root, f"{name}.csv")
+        with open(csv_path, "w", newline="") as f:
+            wcsv = _csv.writer(f)
+            wcsv.writerow(header)
+            for i, (c, vid, st, en) in enumerate(rows):
+                wcsv.writerow([i, "P00", vid, _sec2ts(st), _sec2ts(st),
+                               _sec2ts(en), 0, 0, captions[c],
+                               c % n_verbs, c % n_verbs, c, c])
+        with open(osp.join(root, f"{name}_sentence.csv"), "w",
+                  newline="") as f:
+            wcsv = _csv.writer(f)
+            wcsv.writerow(["id", "sentence"])
+            for c, cap in enumerate(captions):
+                wcsv.writerow([c, cap])
+        rel = np.zeros((len(rows), n_classes), np.float32)
+        for i, (c, *_rest) in enumerate(rows):
+            rel[i, [j for j in range(n_classes)
+                    if j % n_verbs == c % n_verbs]] = 0.25
+            rel[i, c] = 1.0
+        split = "train" if name == "train" else "test"
+        with open(osp.join(root, "relevancy",
+                           f"caption_relevancy_EPIC_100_retrieval_"
+                           f"{split}.pkl"), "wb") as f:
+            pickle.dump(rel, f)
+        return csv_path
+
+    write_split("test", heldout_per_class, fixed=True)
+    return write_split("train", windows_per_class, fixed=False)
+
+
 def make_nlq_dataset(root: str, n_concepts: int, samples_per_concept: int,
                      *, n_feat: int = 48, feat_hz: float = 8.0,
                      dv: int = 64, dq: int = 32,
@@ -254,6 +331,7 @@ _FAMILY_ENTRY = {
     "clip": "avion_tpu.train.pretrain_clip",
     "videomae": "avion_tpu.train.videomae_pretrain",
     "cls": "avion_tpu.train.finetune_cls",
+    "mir": "avion_tpu.train.finetune_mir",
     "nlq": "avion_tpu.egonlq.train_nlq",
 }
 
@@ -296,6 +374,8 @@ def launch_training(root, meta, out_dir, *, model, batch, epochs, workers,
             f"data.label_map={osp.join(root, 'actions.csv')}",
             "data.crop_size=224", "mixup=0.8", "cutmix=1.0",
             "model.vision_heads=6")
+    elif family == "mir":
+        family_overrides = ("data.crop_size=224",)
     else:
         family_overrides = ()
     if family == "nlq":
@@ -682,6 +762,138 @@ def cls_eval(root, out_dir, *, batch, n_classes):
             "chance": round(1.0 / len(labels), 4)}
 
 
+def mir_eval(root, out_dir, *, batch):
+    """EK100-MIR retrieval metrics (mAP/nDCG, ``eval/runners.py
+    validate_mir``) on the held-out split from BOTH a fresh init and
+    the RESTORED checkpoint — convergence evidence is the
+    trained-vs-init delta (reference eval:
+    ``evaluation_ek100mir.py:214-332``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from avion_tpu.core.checkpoint import Checkpointer
+    from avion_tpu.core.config import TrainConfig
+    from avion_tpu.core.train_state import TrainState
+    from avion_tpu.data.datasets import AugmentSpec, VideoCaptionDataset
+    from avion_tpu.data.loader import DataLoader
+    from avion_tpu.eval.runners import CLIPEncoders
+    from avion_tpu.models import create_model
+    from avion_tpu.optim import build_optimizer
+
+    cfg = TrainConfig.from_dict(
+        json.load(open(osp.join(out_dir, "config.json"))))
+    d = cfg.data
+    # mirror the entry's model + optimizer construction so the restore
+    # template matches (train/finetune_mir.py)
+    model = create_model(
+        cfg.model.name, num_frames=d.clip_length,
+        project_embed_dim=cfg.model.project_embed_dim,
+        use_quick_gelu=cfg.model.use_quick_gelu,
+        use_flash_attn=cfg.model.use_flash_attn,
+        use_grad_checkpointing=cfg.model.use_grad_checkpointing,
+        input_norm=cfg.model.input_norm)
+    rng = jax.random.PRNGKey(cfg.seed)
+    video0 = jnp.zeros((2, d.clip_length, model.image_size,
+                        model.image_size, 3), jnp.bfloat16)
+    text0 = jnp.zeros((2, model.context_length), jnp.int32)
+    init_params = jax.jit(model.init)(rng, video0, text0)["params"]
+    tx, _ = build_optimizer(cfg.optim, init_params, 10,
+                            num_layers=cfg.model.vision_layers)
+    template = TrainState.create(init_params, tx)
+    ckpt = Checkpointer(osp.join(out_dir, "ckpt"))
+    state, _ = ckpt.restore(template)
+    assert state is not None, "no checkpoint found"
+    step = int(state.step)
+    trained_params = jax.device_get(state.params)
+    ckpt.close()
+
+    val_ds = VideoCaptionDataset(
+        "ek100_mir", root, osp.join(root, "test.csv"), is_training=False,
+        clip_length=d.clip_length, chunk_len=15,
+        augment=AugmentSpec(crop_size=d.crop_size, mode="center"))
+    rel = pickle.load(open(osp.join(
+        root, "relevancy",
+        "caption_relevancy_EPIC_100_retrieval_test.pkl"), "rb"))
+
+    def sweep(params):
+        loader = DataLoader(val_ds, batch, shuffle=False, drop_last=False,
+                            num_workers=0)
+        # each held-out row's text is its own class caption: the
+        # [n_videos, n_classes] relevancy needs sim columns in CLASS
+        # order, which is per-row caption order deduplicated — use the
+        # class-caption encodings directly via the id orders
+        enc = CLIPEncoders(model, params, batch=batch)
+        res = enc.sweep_loader(loader)
+        img, txt = res["image_embed"], res["text_embed"]
+        # one text per class, in class order: rows are grouped by class
+        # (test.csv write order), heldout_per_class each
+        n_videos = rel.shape[0]
+        per = n_videos // rel.shape[1]
+        tcls = txt[::per][: rel.shape[1]]
+        sim = (img[:n_videos] @ tcls.T + 1) / 2
+        from avion_tpu.eval.retrieval_metrics import get_map, get_ndcg
+
+        vmap, tmap, amap = get_map(sim, rel)
+        vndcg, tndcg, andcg = get_ndcg(sim, rel)
+        return {"avg_map": round(float(amap), 4),
+                "avg_ndcg": round(float(andcg), 4),
+                "vis_map": round(float(vmap), 4),
+                "txt_map": round(float(tmap), 4)}
+
+    init_metrics = sweep(init_params)
+    trained = sweep(trained_params)
+    return {"ckpt_step": step, "heldout_clips": int(rel.shape[0]),
+            "init": init_metrics, "trained": trained}
+
+
+def write_report_mir(path, *, cfg, rows, resume_step, zs, wall_s):
+    first = rows[: max(1, len(rows) // 10)]
+    last = rows[-max(1, len(rows) // 10):]
+    mean = lambda rs, k: float(np.mean([r[k] for r in rs if k in r]))
+    duty = [r.get("perf/duty_cycle_win", r.get("perf/duty_cycle"))
+            for r in rows
+            if "perf/duty_cycle_win" in r or "perf/duty_cycle" in r]
+    curve = rows[:: max(1, len(rows) // 16)]
+    lines = [
+        "# E2E MIR-finetune convergence run (real chip)",
+        "",
+        "Produced by `python -m avion_tpu.tools.e2e_convergence "
+        "--family mir` — the real `train/finetune_mir.py` entry",
+        "(max-margin ranking loss over relevancy-sampled captions) on",
+        "an EK100-MIR-layout synthetic dataset (chunked seeded-x264",
+        "videos, sentence tables, graded relevancy pickles), live",
+        "worker decode, a mid-run SIGTERM preemption + auto-resume,",
+        "and a final held-out retrieval sweep (mAP/nDCG) comparing the",
+        "RESTORED checkpoint against a fresh init.",
+        "",
+        f"- config: `{json.dumps(cfg)}`",
+        f"- total wall time: {wall_s:.0f}s (1-core CI host; "
+        "decode-bound)",
+        f"- steps logged: {len(rows)} (resume at step {resume_step})",
+        f"- train loss: first-10% mean {mean(first, 'loss'):.4f} -> "
+        f"last-10% mean {mean(last, 'loss'):.4f}",
+        f"- measured duty cycle (window median {np.median(duty):.3f}, "
+        f"min {min(duty):.3f}, max {max(duty):.3f} over {len(duty)} "
+        f"print windows)" if duty else "- duty cycle: n/a",
+        f"- held-out sweep: {zs['heldout_clips']} clips, ckpt step "
+        f"{zs['ckpt_step']}",
+        "",
+        "## held-out retrieval: fresh init vs restored checkpoint",
+        "",
+        "| metric | init | trained |",
+        "|---|---|---|",
+    ]
+    for k in zs["trained"]:
+        lines.append(f"| {k} | {zs['init'][k]} | {zs['trained'][k]} |")
+    lines += ["", "## loss curve (sampled)", "", "| step | loss |",
+              "|---|---|"]
+    for r in curve:
+        lines.append(f"| {r.get('step', '?')} | {r['loss']:.4f} |")
+    lines.append("")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
 def nlq_eval(root, out_dir, *, batch):
     """R@k/IoU on the held-out NLQ split from BOTH a fresh init and the
     RESTORED checkpoint — the drill's convergence evidence is the
@@ -929,6 +1141,11 @@ _FAMILY_DEFAULTS = {
     "cls": dict(model="CLIP_VITB16_H128", classes=16, windows=32,
                 batch=16, epochs=6, lr=2e-3, preempt_step=60,
                 report="docs/E2E_CLS.md"),
+    # mir lr mirrors the reference finetune scale (1e-5 base x larger
+    # synthetic signal); 16-frame clips keep it decode-bound like cls
+    "mir": dict(model="CLIP_VITB16_H128", classes=12, windows=32,
+                batch=16, epochs=6, lr=1e-4, preempt_step=60,
+                report="docs/E2E_MIR.md"),
     # nlq trains on pre-extracted features: classes = query concepts,
     # windows = train samples per concept (12 steps/epoch at batch 16)
     "nlq": dict(model="VSLNET", classes=8, windows=24,
@@ -939,7 +1156,8 @@ _FAMILY_DEFAULTS = {
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--family", choices=("clip", "videomae", "cls", "nlq"),
+    p.add_argument("--family",
+                   choices=("clip", "videomae", "cls", "mir", "nlq"),
                    default="clip")
     p.add_argument("--classes", type=int, default=None,
                    help="distinct seeded videos (clip: classes w/ "
@@ -966,6 +1184,7 @@ def main(argv=None):
         args.out = {"clip": "/tmp/avion_e2e",
                     "videomae": "/tmp/avion_e2e_mae",
                     "cls": "/tmp/avion_e2e_cls",
+                    "mir": "/tmp/avion_e2e_mir",
                     "nlq": "/tmp/avion_e2e_nlq"}[args.family]
 
     t0 = time.monotonic()
@@ -977,6 +1196,8 @@ def main(argv=None):
         meta = make_class_dataset(root, args.classes, args.windows)
     elif args.family == "cls":
         meta = make_cls_dataset(root, args.classes, args.windows)
+    elif args.family == "mir":
+        meta = make_mir_dataset(root, args.classes, args.windows)
     elif args.family == "nlq":
         meta = make_nlq_dataset(root, args.classes, args.windows)
     else:
@@ -1022,6 +1243,8 @@ def main(argv=None):
     elif args.family == "cls":
         zs = cls_eval(root, run_dir, batch=args.batch,
                       n_classes=args.classes)
+    elif args.family == "mir":
+        zs = mir_eval(root, run_dir, batch=args.batch)
     elif args.family == "nlq":
         zs = nlq_eval(root, run_dir, batch=args.batch)
     else:
@@ -1032,7 +1255,8 @@ def main(argv=None):
            "batch": args.batch, "epochs": args.epochs, "lr": args.lr,
            "workers": args.workers, "preempt_step": args.preempt_step}
     report = {"clip": write_report, "videomae": write_report_mae,
-              "cls": write_report_cls, "nlq": write_report_nlq}[args.family]
+              "cls": write_report_cls, "mir": write_report_mir,
+              "nlq": write_report_nlq}[args.family]
     report(args.report, cfg=cfg, rows=rows, resume_step=resume_step,
            zs=zs, wall_s=time.monotonic() - t0)
     summary = {"metric": f"e2e_convergence_{args.family}", **cfg,

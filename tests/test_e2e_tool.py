@@ -282,3 +282,58 @@ def test_write_report_nlq_summarizes(tmp_path):
     assert "resume at step 40" in text
     assert "| Rank@1_mIoU@0.3 | 8.0 | 72.0 |" in text
     assert "| mIoU | 6.5 | 55.1 |" in text
+
+
+def test_make_mir_dataset_layout(tmp_path):
+    from avion_tpu.data.video_reader import DecodeError, native_available
+    from avion_tpu.tools.e2e_convergence import make_mir_dataset
+
+    if not native_available():
+        pytest.skip("native decode library unavailable")
+    try:
+        meta = make_mir_dataset(str(tmp_path), 4, 3, w=128, h=96,
+                                heldout_per_class=2)
+    except DecodeError:
+        pytest.skip("libx264 encoder unavailable")
+    # the generated file set parses through the REAL ek100_mir dataset
+    # (csv + sentence table + relevancy pkl via load_ek100_mir_extras)
+    from avion_tpu.data import metadata as md
+    from avion_tpu.data.datasets import VideoCaptionDataset
+
+    samples = md.load_ek100(str(tmp_path), meta)
+    assert len(samples) == 12
+    sentences, rel, thr = md.load_ek100_mir_extras(meta)
+    assert rel.shape == (12, 4) and thr == 0.1
+    # graded: own class 1.0, same-verb 0.25 (4 classes over 4 verbs
+    # here -> only the diagonal class is >= threshold)
+    assert (rel.max(1) == 1.0).all()
+    ds = VideoCaptionDataset("ek100_mir", str(tmp_path), meta,
+                             is_training=True, clip_length=2, chunk_len=15)
+    item = ds[0]
+    assert item["video"].shape[0] == 2
+    assert float(item["relevancy"]) >= 0.1
+    # test split artifacts for the held-out sweep
+    assert osp.exists(osp.join(str(tmp_path), "test.csv"))
+    assert osp.exists(osp.join(str(tmp_path), "test_sentence.csv"))
+    trel = __import__("pickle").load(open(osp.join(
+        str(tmp_path), "relevancy",
+        "caption_relevancy_EPIC_100_retrieval_test.pkl"), "rb"))
+    assert trel.shape == (8, 4)
+
+
+def test_write_report_mir_summarizes(tmp_path):
+    from avion_tpu.tools.e2e_convergence import write_report_mir
+
+    rows = [{"step": i, "loss": 0.4 - i * 0.002,
+             "perf/duty_cycle_win": 0.5} for i in range(60)]
+    path = tmp_path / "E2E_MIR.md"
+    write_report_mir(
+        str(path), cfg={"family": "mir"}, rows=rows, resume_step=30,
+        zs={"ckpt_step": 144, "heldout_clips": 36,
+            "init": {"avg_map": 0.31, "avg_ndcg": 0.42},
+            "trained": {"avg_map": 0.88, "avg_ndcg": 0.91}},
+        wall_s=900.0)
+    text = path.read_text()
+    assert "resume at step 30" in text
+    assert "| avg_map | 0.31 | 0.88 |" in text
+    assert "| avg_ndcg | 0.42 | 0.91 |" in text
