@@ -334,6 +334,14 @@ def main():
                 raise
         return None
 
+    # sentinel first: a wedged tunnel can hang the in-process ladder
+    # with no way to interrupt it (blocked RPCs defer signal handlers),
+    # so the minimum parseable record must already be on the wire; every
+    # later print supersedes it
+    print(json.dumps({
+        "metric": f"clips_per_sec_per_chip_{tag}_pretrain",
+        "value": 0.0, "unit": "clips/s/chip", "vs_baseline": 0.0,
+        "status": "startup_sentinel"}), flush=True)
     result = run_ladder(ladder, model_name, tag)
     if result is None:
         print(json.dumps({"metric": "clips_per_sec_per_chip_vitb16_pretrain",

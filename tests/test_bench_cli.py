@@ -88,12 +88,16 @@ def test_bench_main_contract(capsys, monkeypatch, tmp_path):
     assert any(r["metric"].startswith("clips_per_sec_per_chip_vitl14_h128")
                for r in extra_rows[1:])
     # output contract: EVERY stdout json line is parseable (the driver
-    # takes the last one); the FIRST line is the bare flagship record
-    # printed before the live/parity segments, so a kill at any later
+    # takes the last one).  Line 1 is the pre-ladder sentinel (survives
+    # even a wedged-tunnel hang), line 2 the bare flagship record
+    # printed before the live/parity segments — a kill at any later
     # point still leaves a valid record
     json_lines = [ln for ln in out if ln.startswith("{")]
-    assert len(json_lines) >= 2
-    first = json.loads(json_lines[0])
+    assert len(json_lines) >= 3
+    sentinel = json.loads(json_lines[0])
+    assert sentinel["status"] == "startup_sentinel"
+    assert sentinel["value"] == 0.0
+    first = json.loads(json_lines[1])
     assert first["metric"] == row["metric"]
     assert first["value"] == row["value"]
     assert "duty_cycle" not in first and "parity_metric" not in first
@@ -154,7 +158,8 @@ def test_bench_deadline_skips_segments(capsys, monkeypatch, tmp_path):
     cap = capsys.readouterr()
     json_lines = [ln for ln in cap.out.strip().splitlines()
                   if ln.startswith("{")]
-    assert len(json_lines) == 1
+    assert len(json_lines) == 2  # sentinel + flagship, nothing else
+    assert json.loads(json_lines[0])["status"] == "startup_sentinel"
     row = json.loads(json_lines[-1])
     assert row["metric"] == \
         "clips_per_sec_per_chip_clip_vitb16_h128_pretrain_b256"
@@ -191,17 +196,18 @@ bench.main()
     p = subprocess.Popen([sys.executable, str(driver)], cwd=repo,
                          stdout=subprocess.PIPE, env=env)
     try:
-        # first flushed line must arrive while the live segment hangs
-        line = b""
+        # sentinel then flagship must arrive while the live segment
+        # hangs; both flushed line-by-line
+        rows = []
         deadline = time.monotonic() + 60
-        while time.monotonic() < deadline:
+        while time.monotonic() < deadline and len(rows) < 2:
             line = p.stdout.readline()
             if line.strip():
-                break
-        row = json.loads(line)
-        assert row["metric"] == \
+                rows.append(json.loads(line))
+        assert rows[0]["status"] == "startup_sentinel"
+        assert rows[1]["metric"] == \
             "clips_per_sec_per_chip_clip_vitb16_h128_pretrain_b256"
-        assert row["value"] == 200.0
+        assert rows[1]["value"] == 200.0
     finally:
         p.send_signal(signal.SIGKILL)
         p.wait()
