@@ -88,7 +88,8 @@ def make_batches(seed: int, protos: np.ndarray, texts: np.ndarray,
 def run_arm(heads: int, *, init_params, batches, protos, texts,
             heldout_per_concept: int, sigma: float, lr: float,
             width: int, layers: int, frames: int, size: int,
-            patch: int, use_flash: bool) -> Dict:
+            patch: int, use_flash: bool,
+            eval_sigma: float | None = None) -> Dict:
     import jax
     import jax.numpy as jnp
 
@@ -127,12 +128,19 @@ def run_arm(heads: int, *, init_params, batches, protos, texts,
             accs.append(float(metrics["clip_acc"]))
 
     # held-out retrieval: fresh noisy clips per concept vs the K
-    # concept caption embeddings
-    erng = np.random.RandomState(999)
+    # concept caption embeddings.  eval_sigma (scalar or list) > sigma
+    # probes the MARGIN of the learned representations across a noise
+    # curve: the train task can sit in its fully-learnable regime while
+    # held-out top-1 spans ceiling-to-floor (the de-saturation ADVICE
+    # r3 #3 asked for) — matched-noise eval otherwise saturates the
+    # moment training converges (sharp learnability cliff)
     k = len(protos)
-    eval_videos = np.stack([
-        noisy_clip(erng, protos[c], sigma)
-        for c in range(k) for _ in range(heldout_per_concept)])
+    if eval_sigma is None:
+        eval_sigmas = [sigma]
+    elif np.isscalar(eval_sigma):
+        eval_sigmas = [float(eval_sigma)]
+    else:
+        eval_sigmas = [float(s) for s in eval_sigma]
     labels = np.repeat(np.arange(k), heldout_per_concept)
 
     from avion_tpu.data.transforms import (
@@ -156,19 +164,26 @@ def run_arm(heads: int, *, init_params, batches, protos, texts,
 
     # texts encoded ONCE; only the video side is batched over the loop
     tvecs = np.asarray(encode_text(state.params, texts), np.float32)
-    vecs = []
     bs = max(1, len(batches[0]["video"]))
-    for i in range(0, len(eval_videos), bs):
-        v = encode_video(state.params, eval_videos[i:i + bs])
-        vecs.append(np.asarray(v, np.float32))
-    sims = np.concatenate(vecs) @ tvecs.T
-    top1 = float((sims.argmax(-1) == labels).mean())
+    top1_by_sigma = {}
+    for es in eval_sigmas:
+        erng = np.random.RandomState(999)  # same clips across arms
+        eval_videos = np.stack([
+            noisy_clip(erng, protos[c], es)
+            for c in range(k) for _ in range(heldout_per_concept)])
+        vecs = []
+        for i in range(0, len(eval_videos), bs):
+            v = encode_video(state.params, eval_videos[i:i + bs])
+            vecs.append(np.asarray(v, np.float32))
+        sims = np.concatenate(vecs) @ tvecs.T
+        top1_by_sigma[es] = float((sims.argmax(-1) == labels).mean())
+    top1 = top1_by_sigma[eval_sigmas[0]]
 
     # tail-window mean; at steps=1 only the step-0 sample exists, so
     # fall back to it instead of np.mean([]) (NaN + invalid JSON)
     tail_losses = losses[1:] if len(losses) > 1 else losses[-1:]
     tail_accs = accs[1:] if len(accs) > 1 else accs[-1:]
-    return {
+    out = {
         "heads": heads,
         "head_dim": width // heads,
         "first_loss": round(losses[0], 4),
@@ -176,11 +191,16 @@ def run_arm(heads: int, *, init_params, batches, protos, texts,
         "final_clip_acc": round(float(np.mean(tail_accs)), 2),
         "heldout_top1": round(top1, 4),
     }
+    if len(eval_sigmas) > 1:
+        out["top1_by_sigma"] = {str(int(s)): round(v, 4)
+                                for s, v in top1_by_sigma.items()}
+    return out
 
 
 def run(steps=200, batch=64, concepts=32, width=768, layers=6, frames=4,
         size=96, patch=16, sigma=25.0, lr=1e-4, heads=(12, 6),
-        heldout_per_concept=4, seed=0, overlap=0.0) -> Dict:
+        heldout_per_concept=4, seed=0, overlap=0.0,
+        eval_sigma=None) -> Dict:
     import jax
     import jax.numpy as jnp
 
@@ -215,7 +235,8 @@ def run(steps=200, batch=64, concepts=32, width=768, layers=6, frames=4,
                     protos=protos, texts=texts,
                     heldout_per_concept=heldout_per_concept, sigma=sigma,
                     lr=lr, width=width, layers=layers, frames=frames,
-                    size=size, patch=patch, use_flash=use_flash)
+                    size=size, patch=patch, use_flash=use_flash,
+                    eval_sigma=eval_sigma)
         print(json.dumps({"arm": r}))
         arms.append(r)
 
@@ -228,6 +249,12 @@ def run(steps=200, batch=64, concepts=32, width=768, layers=6, frames=4,
         summary["loss_delta_vs_first"] = [
             round(a["final_loss"] - base["final_loss"], 4)
             for a in arms[1:]]
+        if "top1_by_sigma" in base:
+            summary["top1_delta_by_sigma_vs_first"] = [
+                {s: round(a["top1_by_sigma"][s] - base["top1_by_sigma"][s],
+                          4)
+                 for s in base["top1_by_sigma"]}
+                for a in arms[1:]]
     print(json.dumps(summary))
     return summary
 
@@ -249,6 +276,22 @@ def run_multi(seeds, **kw) -> Dict:
                                       for v in deltas.mean(0).tolist()]
         summary["top1_delta_std"] = [round(v, 4)
                                      for v in deltas.std(0).tolist()]
+        if all("top1_by_sigma" in a for r in runs for a in r["arms"]):
+            sig = list(runs[0]["arms"][0]["top1_by_sigma"])
+            # [seed, arm, sigma]
+            cube = np.array([[[a["top1_by_sigma"][s] for s in sig]
+                              for a in r["arms"]] for r in runs])
+            m = cube.mean(0)
+            summary["top1_by_sigma_arm_mean"] = [
+                {s: round(float(v), 4) for s, v in zip(sig, row)}
+                for row in m]
+            d = cube[:, 1:] - cube[:, :1]  # per-seed deltas vs arm 0
+            summary["top1_delta_by_sigma_mean"] = [
+                {s: round(float(v), 4) for s, v in zip(sig, row)}
+                for row in d.mean(0)]
+            summary["top1_delta_by_sigma_std"] = [
+                {s: round(float(v), 4) for s, v in zip(sig, row)}
+                for row in d.std(0)]
     print(json.dumps(summary))
     return summary
 
@@ -277,11 +320,17 @@ def main(argv=None):
     p.add_argument("--overlap", type=float, default=0.0,
                    help="0..1: mix a shared base into every concept "
                         "prototype (harder, de-saturated eval)")
+    p.add_argument("--eval-sigma", type=float, nargs="+", default=None,
+                   help="held-out clip noise sigma(s) (default: the "
+                        "train sigma); a list sweeps a noise curve so "
+                        "top-1 spans ceiling-to-floor and per-sigma "
+                        "arm deltas are measured off the ceiling")
     a = p.parse_args(argv)
     kw = dict(steps=a.steps, batch=a.batch, concepts=a.concepts,
               width=a.width, layers=a.layers, frames=a.frames, size=a.size,
               patch=a.patch, sigma=a.sigma, lr=a.lr, heads=tuple(a.heads),
-              heldout_per_concept=a.heldout, overlap=a.overlap)
+              heldout_per_concept=a.heldout, overlap=a.overlap,
+              eval_sigma=a.eval_sigma)
     if a.seeds:
         run_multi(a.seeds, **kw)
     else:

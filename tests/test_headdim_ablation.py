@@ -61,3 +61,27 @@ def test_run_multi_aggregates(capsys):
     assert len(s["top1_delta_mean"]) == 1
     assert len(s["top1_delta_std"]) == 1
     assert s["top1_by_arm_mean"][0] <= 1.0
+
+
+def test_eval_sigma_curve(capsys):
+    s = run(steps=4, batch=8, concepts=4, width=64, layers=2,
+            frames=2, size=32, patch=16, heads=(4, 2),
+            heldout_per_concept=2, sigma=10.0,
+            eval_sigma=[10.0, 120.0, 240.0])
+    for a in s["arms"]:
+        curve = a["top1_by_sigma"]
+        assert set(curve) == {"10", "120", "240"}
+        assert a["heldout_top1"] == curve["10"]
+    assert len(s["top1_delta_by_sigma_vs_first"]) == 1
+
+
+def test_run_multi_sigma_aggregation(capsys):
+    from avion_tpu.tools.headdim_ablation import run_multi
+
+    s = run_multi([0, 1], steps=3, batch=8, concepts=4, width=64,
+                  layers=2, frames=2, size=32, patch=16, heads=(4, 2),
+                  heldout_per_concept=2, sigma=10.0,
+                  eval_sigma=[10.0, 240.0])
+    assert len(s["top1_by_sigma_arm_mean"]) == 2
+    assert set(s["top1_delta_by_sigma_mean"][0]) == {"10", "240"}
+    assert set(s["top1_delta_by_sigma_std"][0]) == {"10", "240"}
