@@ -135,9 +135,14 @@ def live_segment(model_name: str = "CLIP_VITB16", batch: int = 64,
 
     decode_cps_core = None
     if probe_decode:
-        # raw single-core decode rate (the host-side bound)
+        # raw single-core decode rate (the host-side bound): warm the
+        # reader cache first — the first few items pay chunk opens +
+        # keyframe seeks that amortize away in a real epoch, and a
+        # cold-start probe under-reports steady state by ~40%
+        for i in range(4):
+            ds[i % len(ds)]
         t0 = time.perf_counter()
-        n_probe = 8
+        n_probe = 16
         for i in range(n_probe):
             ds[i % len(ds)]
         dt_probe = (time.perf_counter() - t0) / n_probe
