@@ -123,11 +123,16 @@ class RobertaTokenizer:
 
     def __init__(self, bpe: ByteLevelBPE,
                  bos_token: str = "<s>", eos_token: str = "</s>",
-                 pad_token: str = "<pad>"):
+                 pad_token: str = "<pad>", model_max_length: int = 512):
         self.bpe = bpe
         self.bos_id = bpe.encoder[bos_token]
         self.eos_id = bpe.encoder[eos_token]
         self.pad_id = bpe.encoder[pad_token]
+        # always-on truncation ceiling (roberta-base's 512): RoBERTa's
+        # position table has max_positions rows and XLA gather CLAMPS
+        # out-of-range indices instead of erroring, so an uncapped
+        # pathological query would produce silently-garbage embeddings
+        self.model_max_length = model_max_length
 
     @classmethod
     def from_dir(cls, path: str) -> "RobertaTokenizer":
@@ -137,16 +142,18 @@ class RobertaTokenizer:
                  padding: bool = True, return_tensors: str = "np"):
         if return_tensors != "np":  # HF-call compatibility; numpy only
             raise ValueError("only return_tensors='np' is supported")
+        if not padding:  # one rectangular ndarray is the only output
+            raise ValueError("only padding=True is supported")
         if isinstance(texts, str):
             texts = [texts]
         rows = [[self.bos_id] + self.bpe.encode(t) + [self.eos_id]
                 for t in texts]
-        if max_length is not None:
-            rows = [r[:max_length - 1] + [self.eos_id]
-                    if len(r) > max_length else r for r in rows]
-        width = max(len(r) for r in rows) if padding else None
-        ids = np.full((len(rows), width or max(len(r) for r in rows)),
-                      self.pad_id, np.int32)
+        cap = min(max_length or self.model_max_length,
+                  self.model_max_length)
+        rows = [r[: cap - 1] + [self.eos_id] if len(r) > cap else r
+                for r in rows]
+        width = max(len(r) for r in rows)
+        ids = np.full((len(rows), width), self.pad_id, np.int32)
         mask = np.zeros_like(ids)
         for i, r in enumerate(rows):
             ids[i, : len(r)] = r

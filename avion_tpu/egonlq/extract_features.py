@@ -41,6 +41,11 @@ def main(argv=None):
                    help="local HF-format RoBERTa tokenizer dir "
                         "(vocab.json + merges.txt) for --legacy text")
     args = p.parse_args(argv)
+    if args.legacy and not args.tokenizer_dir:
+        # fail here, not minutes later after the first video's full
+        # windowed sweep when text_features first needs the tokenizer
+        p.error("--legacy requires --tokenizer-dir (raw-text queries "
+                "need the RoBERTa BPE)")
 
     from avion_tpu.egonlq.nlq_dataset import parse_nlq_annotations
 
@@ -55,8 +60,7 @@ def main(argv=None):
 
         model, params = load_egovlp_checkpoint(
             args.ckpt, num_frames=args.clip_length)
-        tokenizer = (load_roberta_tokenizer(args.tokenizer_dir)
-                     if args.tokenizer_dir else None)
+        tokenizer = load_roberta_tokenizer(args.tokenizer_dir)
         fx = EgoVLPFeatureExtractor(
             model, params, tokenizer=tokenizer,
             clip_length=args.clip_length, window_sec=args.window_sec,

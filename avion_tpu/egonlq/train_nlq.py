@@ -153,18 +153,22 @@ def main(argv=None):
         order_rng.permutation(len(train_ds))  # keep resume order aligned
     global_step = start_epoch * steps_per_epoch
     timer = StepTimer()
-    marked = 0
+    marked = global_step  # windows count only post-resume steps
     stop = False
     for epoch in range(start_epoch, cfg.epochs):
         order = order_rng.permutation(len(train_ds))
         for i in range(steps_per_epoch):
             if preempted():
-                # scheduler SIGTERM: checkpoint at the last epoch
-                # boundary and stop cleanly (auto-resume re-runs this
-                # epoch; the submitit requeue pattern,
-                # run_with_submit_lavila_pretrain.py:53-59)
-                save(epoch - 1)
-                ckpt.wait()
+                # scheduler SIGTERM: ensure the last epoch BOUNDARY is
+                # checkpointed and stop cleanly (auto-resume re-runs
+                # this epoch; the submitit requeue pattern,
+                # run_with_submit_lavila_pretrain.py:53-59).  In the
+                # very first epoch there is no boundary yet — saving
+                # the mid-epoch params as one would make resume train
+                # epoch 0 twice on stepped state, so start fresh.
+                if epoch > 0:
+                    save(epoch - 1)
+                    ckpt.wait()
                 stop = True
                 break
             t_fetch = _time.perf_counter()

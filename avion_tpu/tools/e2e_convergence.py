@@ -821,8 +821,10 @@ def mir_eval(root, out_dir, *, batch):
         # each held-out row's text is its own class caption: the
         # [n_videos, n_classes] relevancy needs sim columns in CLASS
         # order, which is per-row caption order deduplicated — use the
-        # class-caption encodings directly via the id orders
-        enc = CLIPEncoders(model, params, batch=batch)
+        # class-caption encodings directly via the id orders.
+        # .cached swaps params into the already-jitted towers, so the
+        # init and trained sweeps share one compile
+        enc = CLIPEncoders.cached(model, params, batch=batch)
         res = enc.sweep_loader(loader)
         img, txt = res["image_embed"], res["text_embed"]
         # one text per class, in class order: rows are grouped by class
@@ -846,14 +848,15 @@ def mir_eval(root, out_dir, *, batch):
             "init": init_metrics, "trained": trained}
 
 
+def _init_vs_trained_lines(zs):
+    lines = ["", "## held-out eval: fresh init vs restored checkpoint",
+             "", "| metric | init | trained |", "|---|---|---|"]
+    for k in zs["trained"]:
+        lines.append(f"| {k} | {zs['init'][k]} | {zs['trained'][k]} |")
+    return lines
+
+
 def write_report_mir(path, *, cfg, rows, resume_step, zs, wall_s):
-    first = rows[: max(1, len(rows) // 10)]
-    last = rows[-max(1, len(rows) // 10):]
-    mean = lambda rs, k: float(np.mean([r[k] for r in rs if k in r]))
-    duty = [r.get("perf/duty_cycle_win", r.get("perf/duty_cycle"))
-            for r in rows
-            if "perf/duty_cycle_win" in r or "perf/duty_cycle" in r]
-    curve = rows[:: max(1, len(rows) // 16)]
     lines = [
         "# E2E MIR-finetune convergence run (real chip)",
         "",
@@ -866,30 +869,13 @@ def write_report_mir(path, *, cfg, rows, resume_step, zs, wall_s):
         "and a final held-out retrieval sweep (mAP/nDCG) comparing the",
         "RESTORED checkpoint against a fresh init.",
         "",
-        f"- config: `{json.dumps(cfg)}`",
-        f"- total wall time: {wall_s:.0f}s (1-core CI host; "
-        "decode-bound)",
-        f"- steps logged: {len(rows)} (resume at step {resume_step})",
-        f"- train loss: first-10% mean {mean(first, 'loss'):.4f} -> "
-        f"last-10% mean {mean(last, 'loss'):.4f}",
-        f"- measured duty cycle (window median {np.median(duty):.3f}, "
-        f"min {min(duty):.3f}, max {max(duty):.3f} over {len(duty)} "
-        f"print windows)" if duty else "- duty cycle: n/a",
+        *_report_stats(cfg, rows, resume_step, wall_s,
+                       loss_label="train loss"),
         f"- held-out sweep: {zs['heldout_clips']} clips, ckpt step "
         f"{zs['ckpt_step']}",
-        "",
-        "## held-out retrieval: fresh init vs restored checkpoint",
-        "",
-        "| metric | init | trained |",
-        "|---|---|---|",
+        *_init_vs_trained_lines(zs),
+        *_report_curve(rows),
     ]
-    for k in zs["trained"]:
-        lines.append(f"| {k} | {zs['init'][k]} | {zs['trained'][k]} |")
-    lines += ["", "## loss curve (sampled)", "", "| step | loss |",
-              "|---|---|"]
-    for r in curve:
-        lines.append(f"| {r.get('step', '?')} | {r['loss']:.4f} |")
-    lines.append("")
     with open(path, "w") as f:
         f.write("\n".join(lines))
 
@@ -945,13 +931,6 @@ def nlq_eval(root, out_dir, *, batch):
 
 
 def write_report_nlq(path, *, cfg, rows, resume_step, zs, wall_s):
-    first = rows[: max(1, len(rows) // 10)]
-    last = rows[-max(1, len(rows) // 10):]
-    mean = lambda rs, k: float(np.mean([r[k] for r in rs if k in r]))
-    duty = [r.get("perf/duty_cycle_win", r.get("perf/duty_cycle"))
-            for r in rows
-            if "perf/duty_cycle_win" in r or "perf/duty_cycle" in r]
-    curve = rows[:: max(1, len(rows) // 16)]
     lines = [
         "# E2E NLQ-grounding convergence run (real chip)",
         "",
@@ -962,41 +941,18 @@ def write_report_nlq(path, *, cfg, rows, resume_step, zs, wall_s):
         "and a final held-out R@k/IoU sweep comparing the RESTORED",
         "checkpoint against a fresh init.",
         "",
-        f"- config: `{json.dumps(cfg)}`",
-        f"- total wall time: {wall_s:.0f}s",
-        f"- steps logged: {len(rows)} (resume at step {resume_step})",
-        f"- train loss: first-10% mean {mean(first, 'loss'):.4f} -> "
-        f"last-10% mean {mean(last, 'loss'):.4f}",
-        f"- measured duty cycle (window median {np.median(duty):.3f}, "
-        f"min {min(duty):.3f}, max {max(duty):.3f} over {len(duty)} "
-        f"print windows)" if duty else "- duty cycle: n/a",
+        *_report_stats(cfg, rows, resume_step, wall_s,
+                       loss_label="train loss", wall_note=""),
         f"- held-out sweep: {zs['val_queries']} queries, ckpt step "
         f"{zs['ckpt_step']}",
-        "",
-        "## held-out R@k/IoU: fresh init vs restored checkpoint",
-        "",
-        "| metric | init | trained |",
-        "|---|---|---|",
+        *_init_vs_trained_lines(zs),
+        *_report_curve(rows),
     ]
-    for k in zs["trained"]:
-        lines.append(f"| {k} | {zs['init'][k]} | {zs['trained'][k]} |")
-    lines += ["", "## loss curve (sampled)", "", "| step | loss |",
-              "|---|---|"]
-    for r in curve:
-        lines.append(f"| {r.get('step', '?')} | {r['loss']:.4f} |")
-    lines.append("")
     with open(path, "w") as f:
         f.write("\n".join(lines))
 
 
 def write_report_cls(path, *, cfg, rows, resume_step, zs, wall_s):
-    first = rows[: max(1, len(rows) // 10)]
-    last = rows[-max(1, len(rows) // 10):]
-    mean = lambda rs, k: float(np.mean([r[k] for r in rs if k in r]))
-    duty = [r.get("perf/duty_cycle_win", r.get("perf/duty_cycle"))
-            for r in rows
-            if "perf/duty_cycle_win" in r or "perf/duty_cycle" in r]
-    curve = rows[:: max(1, len(rows) // 16)]
     lines = [
         "# E2E classification-finetune convergence run (real chip)",
         "",
@@ -1008,43 +964,69 @@ def write_report_cls(path, *, cfg, rows, resume_step, zs, wall_s):
         "auto-resume, and a final held-out sweep from the restored",
         "classifier with verb/noun marginalization.",
         "",
-        f"- config: `{json.dumps(cfg)}`",
-        f"- total wall time: {wall_s:.0f}s (1-core CI host; decode-bound)",
-        f"- steps logged: {len(rows)} (resume at step {resume_step})",
-        f"- train loss: first-10% mean {mean(first, 'loss'):.4f} -> "
-        f"last-10% mean {mean(last, 'loss'):.4f}",
-        f"- train acc1 (mixup-soft targets): {mean(first, 'clip_acc'):.2f}"
-        f" -> {mean(last, 'clip_acc'):.2f}",
-        f"- measured duty cycle (window median {np.median(duty):.3f}, "
-        f"min {min(duty):.3f}, max {max(duty):.3f} over {len(duty)} "
-        f"print windows)" if duty else "- duty cycle: n/a",
+        *_report_stats(cfg, rows, resume_step, wall_s,
+                       loss_label="train loss",
+                       acc_line=("train acc1 (mixup-soft targets)",
+                                 "clip_acc")),
         f"- held-out eval (chance {zs['chance']}): top-1 {zs['top1']}, "
         f"top-{zs.get('topk_k', 5)} {zs.get('topk', zs.get('top5'))}, "
         f"verb top-1 {zs['verb_top1']}, noun top-1 "
         f"{zs['noun_top1']} over {zs['heldout_clips']} clips "
         f"(ckpt step {zs['ckpt_step']})",
-        "",
-        "## loss curve (sampled)",
-        "",
-        "| step | loss | acc1 |",
-        "|---|---|---|",
+        *_report_curve(rows, acc_col="acc1"),
     ]
-    for r in curve:
-        lines.append(f"| {r.get('step', '?')} | {r['loss']:.4f} | "
-                     f"{r.get('clip_acc', float('nan')):.2f} |")
-    lines.append("")
     with open(path, "w") as f:
         f.write("\n".join(lines))
 
 
-def write_report_mae(path, *, cfg, rows, resume_step, zs, wall_s):
+def _report_stats(cfg, rows, resume_step, wall_s, *, loss_label,
+                  acc_line=None, wall_note=" (1-core CI host; "
+                  "decode-bound)"):
+    """The stats block every family report shares: config, wall time,
+    step count, first/last-10% loss means, optional accuracy line and
+    the duty-window summary."""
     first = rows[: max(1, len(rows) // 10)]
     last = rows[-max(1, len(rows) // 10):]
     mean = lambda rs, k: float(np.mean([r[k] for r in rs if k in r]))
     duty = [r.get("perf/duty_cycle_win", r.get("perf/duty_cycle"))
             for r in rows
             if "perf/duty_cycle_win" in r or "perf/duty_cycle" in r]
+    lines = [
+        f"- config: `{json.dumps(cfg)}`",
+        f"- total wall time: {wall_s:.0f}s{wall_note}",
+        f"- steps logged: {len(rows)} (resume at step {resume_step})",
+        f"- {loss_label}: first-10% mean {mean(first, 'loss'):.4f} -> "
+        f"last-10% mean {mean(last, 'loss'):.4f}",
+    ]
+    if acc_line is not None:
+        label, key = acc_line
+        lines.append(f"- {label}: {mean(first, key):.2f} -> "
+                     f"{mean(last, key):.2f}")
+    lines.append(
+        f"- measured duty cycle (window median {np.median(duty):.3f}, "
+        f"min {min(duty):.3f}, max {max(duty):.3f} over {len(duty)} "
+        f"print windows)" if duty else "- duty cycle: n/a")
+    return lines
+
+
+def _report_curve(rows, *, loss_col="loss", acc_col=None):
+    """The sampled loss-curve table every family report ends with."""
     curve = rows[:: max(1, len(rows) // 16)]
+    head = f"| step | {loss_col} |" if acc_col is None \
+        else f"| step | {loss_col} | {acc_col} |"
+    lines = ["", "## loss curve (sampled)", "", head,
+             "|---|---|" if acc_col is None else "|---|---|---|"]
+    for r in curve:
+        if acc_col is None:
+            lines.append(f"| {r.get('step', '?')} | {r['loss']:.4f} |")
+        else:
+            lines.append(f"| {r.get('step', '?')} | {r['loss']:.4f} | "
+                         f"{r.get('clip_acc', float('nan')):.2f} |")
+    lines.append("")
+    return lines
+
+
+def write_report_mae(path, *, cfg, rows, resume_step, zs, wall_s):
     lines = [
         "# E2E VideoMAE convergence run (real chip, live loader)",
         "",
@@ -1055,39 +1037,19 @@ def write_report_mae(path, *, cfg, rows, resume_step, zs, wall_s):
         "preemption + auto-resume, and a final held-out",
         "masked-reconstruction sweep from the restored checkpoint.",
         "",
-        f"- config: `{json.dumps(cfg)}`",
-        f"- total wall time: {wall_s:.0f}s (1-core CI host; decode-bound)",
-        f"- steps logged: {len(rows)} (resume at step {resume_step})",
-        f"- train MSE: first-10% mean {mean(first, 'loss'):.4f} -> "
-        f"last-10% mean {mean(last, 'loss'):.4f}",
-        f"- measured duty cycle (window median {np.median(duty):.3f}, "
-        f"min {min(duty):.3f}, max {max(duty):.3f} over {len(duty)} "
-        f"print windows)" if duty else "- duty cycle: n/a",
+        *_report_stats(cfg, rows, resume_step, wall_s,
+                       loss_label="train MSE"),
         f"- held-out masked-reconstruction MSE: fresh init "
         f"{zs['mse_init']} -> trained {zs['mse_final']} "
         f"({zs['mse_ratio']:.2f}x, {zs['heldout_clips']} clips, "
         f"ckpt step {zs['ckpt_step']})",
-        "",
-        "## loss curve (sampled)",
-        "",
-        "| step | mse |",
-        "|---|---|",
+        *_report_curve(rows, loss_col="mse"),
     ]
-    for r in curve:
-        lines.append(f"| {r.get('step', '?')} | {r['loss']:.4f} |")
-    lines.append("")
     with open(path, "w") as f:
         f.write("\n".join(lines))
 
 
 def write_report(path, *, cfg, rows, resume_step, zs, wall_s):
-    first = rows[: max(1, len(rows) // 10)]
-    last = rows[-max(1, len(rows) // 10):]
-    mean = lambda rs, k: float(np.mean([r[k] for r in rs if k in r]))
-    duty = [r.get("perf/duty_cycle_win", r.get("perf/duty_cycle"))
-            for r in rows
-            if "perf/duty_cycle_win" in r or "perf/duty_cycle" in r]
-    curve = rows[:: max(1, len(rows) // 16)]
     lines = [
         "# E2E convergence run (real chip, live loader)",
         "",
@@ -1097,29 +1059,13 @@ def write_report(path, *, cfg, rows, resume_step, zs, wall_s):
         "mid-run SIGTERM preemption + auto-resume, and a final",
         "held-out zero-shot sweep from the restored checkpoint.",
         "",
-        f"- config: `{json.dumps(cfg)}`",
-        f"- total wall time: {wall_s:.0f}s (1-core CI host; decode-bound)",
-        f"- steps logged: {len(rows)} (resume at step {resume_step})",
-        f"- loss: first-10% mean {mean(first, 'loss'):.4f} -> "
-        f"last-10% mean {mean(last, 'loss'):.4f}",
-        f"- clip_acc: {mean(first, 'clip_acc'):.2f} -> "
-        f"{mean(last, 'clip_acc'):.2f}",
-        f"- measured duty cycle (window median {np.median(duty):.3f}, "
-        f"min {min(duty):.3f}, max {max(duty):.3f} over {len(duty)} "
-        f"print windows)" if duty else "- duty cycle: n/a",
+        *_report_stats(cfg, rows, resume_step, wall_s, loss_label="loss",
+                       acc_line=("clip_acc", "clip_acc")),
         f"- zero-shot held-out retrieval: top-1 {zs['zeroshot_top1']}, "
         f"top-5 {zs['zeroshot_top5']} over {zs['heldout_clips']} clips "
         f"(ckpt step {zs['ckpt_step']})",
-        "",
-        "## loss curve (sampled)",
-        "",
-        "| step | loss | clip_acc |",
-        "|---|---|---|",
+        *_report_curve(rows, acc_col="clip_acc"),
     ]
-    for r in curve:
-        lines.append(f"| {r.get('step', '?')} | {r['loss']:.4f} | "
-                     f"{r.get('clip_acc', float('nan')):.2f} |")
-    lines.append("")
     with open(path, "w") as f:
         f.write("\n".join(lines))
 

@@ -192,7 +192,9 @@ def run_arm(heads: int, *, init_params, batches, protos, texts,
         "heldout_top1": round(top1, 4),
     }
     if len(eval_sigmas) > 1:
-        out["top1_by_sigma"] = {str(int(s)): round(v, 4)
+        # %g keys: no fractional-sigma collisions ("25.2" != "25.8"),
+        # integral sigmas still print as "60"
+        out["top1_by_sigma"] = {f"{s:g}": round(v, 4)
                                 for s, v in top1_by_sigma.items()}
     return out
 

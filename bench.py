@@ -208,10 +208,12 @@ def wait_for_chip(max_wait_s=2100.0, probe_timeout_s=120.0,
     """
     if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
         return True
-    # the env hook shortens the window (tests / degraded chips); the
-    # caller's budget-derived cap always bounds it from above
-    max_wait_s = min(float(os.environ.get("AVION_BENCH_MAX_WAIT_S",
-                                          max_wait_s)), max_wait_s)
+    # AVION_BENCH_MAX_WAIT_S is an explicit operator override of the
+    # budget-derived cap, in either direction (shorten for tests,
+    # extend when the deadline is known to be generous)
+    env = os.environ.get("AVION_BENCH_MAX_WAIT_S")
+    if env is not None:
+        max_wait_s = float(env)
     probe = ("import jax, jax.numpy as jnp; "
              "x = jnp.ones((128, 128)); "
              "print(float((x @ x).sum()))")
@@ -250,9 +252,11 @@ def main():
     def remaining():
         return deadline_s - (time.monotonic() - t_start)
 
-    # chip-health wait is charged to the same budget, capped to ~1/3 of
-    # it so a wedged tunnel can't eat the measurement window
-    wait_for_chip(max_wait_s=min(2100.0, remaining() / 3.0))
+    # chip-health wait is charged to the same budget, capped to half of
+    # it: long enough to outlast most tunnel wedges (~10-30 min), while
+    # guaranteeing the flagship ladder (~4 min) still fits — and the
+    # startup sentinel is on the wire either way
+    wait_for_chip(max_wait_s=min(2100.0, remaining() / 2.0))
     if "--selfcheck" in sys.argv:
         selfcheck()
         sys.argv.remove("--selfcheck")

@@ -81,3 +81,39 @@ def test_train_nlq_entry_converges(tmp_path):
     # spans are detectable: R@1 IoU=0.5 well above the ~8% random floor
     assert metrics["Rank@1_mIoU@0.5"] > 50.0, metrics
     assert metrics["mIoU"] > 40.0, metrics
+
+
+def test_train_nlq_first_epoch_preempt_saves_nothing(tmp_path, monkeypatch):
+    """SIGTERM before any epoch boundary must NOT checkpoint the
+    mid-epoch params as a boundary (resume would re-train epoch 0 on
+    already-stepped state); a later clean run then checkpoints and
+    auto-resumes normally."""
+    import avion_tpu.parallel.launch as launch
+    from avion_tpu.core.checkpoint import Checkpointer
+    from avion_tpu.egonlq import train_nlq
+
+    root = str(tmp_path)
+    ann = _write_nlq_set(root, 16, seed=3)
+    out = str(tmp_path / "run")
+    args = [f"annotations={ann}", f"feature_dir={root}",
+            f"output_dir={out}", "epochs=2", "batch_size=8", "dim=16",
+            "num_heads=2", "max_pos_len=32",
+            f"video_feature_dim={VDIM}", f"query_feature_dim={QDIM}",
+            "print_freq=1"]
+
+    monkeypatch.setattr(launch, "preempted", lambda: True)
+    train_nlq.main(args)
+    ckpt = Checkpointer(osp.join(out, "ckpt"))
+    assert ckpt.latest_step() is None
+    ckpt.close()
+
+    monkeypatch.setattr(launch, "preempted", lambda: False)
+    train_nlq.main(args)
+    ckpt = Checkpointer(osp.join(out, "ckpt"))
+    assert ckpt.latest_step() == 4  # 2 epochs x 2 steps, boundary-saved
+    ckpt.close()
+    # resume run: restores at epoch 2, trains nothing more, still clean
+    train_nlq.main(args)
+    ckpt = Checkpointer(osp.join(out, "ckpt"))
+    assert ckpt.latest_step() == 4
+    ckpt.close()
