@@ -453,10 +453,25 @@ def main():
         extras = []
 
         def flush_extras():
+            # merge by metric with whatever a previous run recorded: a
+            # budget-degraded run updates the rows it measured and
+            # leaves the rest standing instead of erasing them
+            rows = {}
+            try:
+                with open(out) as f:
+                    for line in f:
+                        if line.strip():
+                            r = json.loads(line)
+                            rows[r["metric"]] = r
+            except (OSError, ValueError):
+                pass
+            for r in extras:
+                rows[r["metric"]] = r
             with open(out, "w") as f:
-                f.write("\n".join(json.dumps(r) for r in extras) + "\n")
-            print(f"wrote {len(extras)} extra rows to {out}",
-                  file=sys.stderr)
+                f.write("\n".join(json.dumps(r) for r in rows.values())
+                        + "\n")
+            print(f"wrote {len(extras)} extra rows to {out} "
+                  f"({len(rows)} total)", file=sys.stderr)
 
         if remaining() > 120:
             try:

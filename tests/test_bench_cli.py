@@ -211,3 +211,30 @@ bench.main()
     finally:
         p.send_signal(signal.SIGKILL)
         p.wait()
+
+
+def test_extras_merge_with_previous_rows(capsys, monkeypatch, tmp_path):
+    """A later (possibly degraded) run updates only the rows it
+    measured; prior canaries survive."""
+    bench = _load_bench()
+    monkeypatch.setattr(bench, "bench_batch", lambda *a, **k: (75.0, 1.0))
+    monkeypatch.setattr(bench.subprocess, "run",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            __import__("subprocess").TimeoutExpired("x", 1)))
+    import avion_tpu.tools.bench_videomae as bv
+
+    monkeypatch.setattr(bv, "bench", lambda b, model_name=None: 111.1)
+    extra_path = tmp_path / "BENCH_EXTRA.json"
+    extra_path.write_text(json.dumps({
+        "metric": "clips_per_sec_per_chip_legacy_canary_b32",
+        "value": 50.0, "unit": "clips/s/chip", "vs_baseline": 3.0}) + "\n")
+    monkeypatch.setenv("AVION_BENCH_EXTRA_PATH", str(extra_path))
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    bench.main()
+    rows = {json.loads(l)["metric"]: json.loads(l)
+            for l in extra_path.read_text().splitlines()}
+    # this run's rows were (re)measured; the prior unrelated canary
+    # persists instead of being erased by the truncate-write
+    assert rows["clips_per_sec_per_chip_videomae_vitb16_h128_b128"][
+        "value"] == 111.1
+    assert rows["clips_per_sec_per_chip_legacy_canary_b32"]["value"] == 50.0
