@@ -255,8 +255,15 @@ def main():
     # chip-health wait is charged to the same budget, capped to half of
     # it: long enough to outlast most tunnel wedges (~10-30 min), while
     # guaranteeing the flagship ladder (~4 min) still fits — and the
-    # startup sentinel is on the wire either way
-    wait_for_chip(max_wait_s=min(2100.0, remaining() / 2.0))
+    # startup sentinel is on the wire either way.  If the chip is still
+    # wedged, keep retrying with what's left rather than entering the
+    # ladder (whose blocked RPCs would hang unkillably until the
+    # driver's timeout): a wedge that clears late still gets a
+    # flagship number, and one that never clears exits cleanly with
+    # the sentinel as the round's record.
+    healthy = wait_for_chip(max_wait_s=min(2100.0, remaining() / 2.0))
+    while not healthy and remaining() > 240:
+        healthy = wait_for_chip(max_wait_s=min(600.0, remaining() - 240))
     if "--selfcheck" in sys.argv:
         selfcheck()
         sys.argv.remove("--selfcheck")
@@ -345,7 +352,12 @@ def main():
     print(json.dumps({
         "metric": f"clips_per_sec_per_chip_{tag}_pretrain",
         "value": 0.0, "unit": "clips/s/chip", "vs_baseline": 0.0,
-        "status": "startup_sentinel"}), flush=True)
+        "status": "startup_sentinel" if healthy else "chip_unreachable"}),
+        flush=True)
+    if not healthy:
+        print("chip never became healthy within the budget; recording "
+              "the sentinel only", file=sys.stderr)
+        return
     result = run_ladder(ladder, model_name, tag)
     if result is None:
         print(json.dumps({"metric": "clips_per_sec_per_chip_vitb16_pretrain",

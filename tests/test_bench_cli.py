@@ -238,3 +238,42 @@ def test_extras_merge_with_previous_rows(capsys, monkeypatch, tmp_path):
     assert rows["clips_per_sec_per_chip_videomae_vitb16_h128_b128"][
         "value"] == 111.1
     assert rows["clips_per_sec_per_chip_legacy_canary_b32"]["value"] == 50.0
+
+
+def test_bench_unreachable_chip_exits_with_sentinel(capsys, monkeypatch):
+    """A chip that never becomes healthy must not reach the ladder
+    (blocked RPCs hang unkillably): bench retries within the budget,
+    then exits cleanly with the sentinel as the record."""
+    bench = _load_bench()
+    waits = []
+
+    class FakeTime:  # real wait_for_chip consumes its window; the
+        t = 0.0      # fake must advance the module clock the same way
+
+        def monotonic(self):
+            return self.t
+
+        def perf_counter(self):
+            return self.t
+
+    clock = FakeTime()
+    monkeypatch.setattr(bench, "time", clock)
+
+    def fake_wait(max_wait_s=0.0, **k):
+        waits.append(max_wait_s)
+        clock.t += max_wait_s
+        return False
+
+    monkeypatch.setattr(bench, "wait_for_chip", fake_wait)
+    monkeypatch.setattr(bench, "bench_batch",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            AssertionError("ladder must not run")))
+    monkeypatch.setenv("AVION_BENCH_DEADLINE_S", "500")
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    rows = [json.loads(l) for l in out if l.startswith("{")]
+    assert len(rows) == 1
+    assert rows[0]["status"] == "chip_unreachable"
+    assert rows[0]["value"] == 0.0
+    assert len(waits) >= 2  # kept retrying with the remaining budget
