@@ -203,17 +203,15 @@ def wait_for_chip(max_wait_s=2100.0, probe_timeout_s=120.0,
     jitted matmul in a SUBPROCESS (backend init is once-per-process, so
     the parent must not touch jax devices until a probe succeeds) and
     retry within a bounded window.  Returns True when healthy, False
-    when the window expires (the bench then proceeds and fails loudly
-    rather than hanging forever).  Skipped on CPU backends (tests).
+    when the window expires — callers must NOT touch the backend
+    in-process after a False return (blocked RPCs defer signals and
+    hang unkillably); main() retries within its budget and otherwise
+    records the sentinel and exits.  Skipped on CPU backends (tests).
+    The caller passes the window; AVION_BENCH_MAX_WAIT_S is applied
+    once at main()'s initial wait, not here.
     """
     if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
         return True
-    # AVION_BENCH_MAX_WAIT_S is an explicit operator override of the
-    # budget-derived cap, in either direction (shorten for tests,
-    # extend when the deadline is known to be generous)
-    env = os.environ.get("AVION_BENCH_MAX_WAIT_S")
-    if env is not None:
-        max_wait_s = float(env)
     probe = ("import jax, jax.numpy as jnp; "
              "x = jnp.ones((128, 128)); "
              "print(float((x @ x).sum()))")
@@ -260,12 +258,20 @@ def main():
     # ladder (whose blocked RPCs would hang unkillably until the
     # driver's timeout): a wedge that clears late still gets a
     # flagship number, and one that never clears exits cleanly with
-    # the sentinel as the round's record.
-    healthy = wait_for_chip(max_wait_s=min(2100.0, remaining() / 2.0))
-    while not healthy and remaining() > 240:
-        healthy = wait_for_chip(max_wait_s=min(600.0, remaining() - 240))
-    if "--selfcheck" in sys.argv:
-        selfcheck()
+    # the sentinel as the round's record.  AVION_BENCH_MAX_WAIT_S is a
+    # TOTAL-wait operator override (either direction): when set, one
+    # bounded wait replaces the retry loop entirely.
+    env_wait = os.environ.get("AVION_BENCH_MAX_WAIT_S")
+    if env_wait is not None:
+        healthy = wait_for_chip(
+            max_wait_s=max(0.0, min(float(env_wait), remaining())))
+    else:
+        healthy = wait_for_chip(max_wait_s=min(2100.0, remaining() / 2.0))
+        while not healthy and remaining() > 240:
+            healthy = wait_for_chip(
+                max_wait_s=min(600.0, remaining() - 240))
+    do_selfcheck = "--selfcheck" in sys.argv
+    if do_selfcheck:
         sys.argv.remove("--selfcheck")
     # The default benches CLIP_VITB16_H128, the flagship TPU geometry
     # (6 heads of dim 128 — same width/params/FLOPs as the reference's
@@ -358,6 +364,10 @@ def main():
         print("chip never became healthy within the budget; recording "
               "the sentinel only", file=sys.stderr)
         return
+    if do_selfcheck:
+        # in-process chip touch like the ladder: must sit behind the
+        # health gate and the sentinel
+        selfcheck()
     result = run_ladder(ladder, model_name, tag)
     if result is None:
         print(json.dumps({"metric": "clips_per_sec_per_chip_vitb16_pretrain",
@@ -471,12 +481,15 @@ def main():
             rows = {}
             try:
                 with open(out) as f:
-                    for line in f:
-                        if line.strip():
-                            r = json.loads(line)
-                            rows[r["metric"]] = r
-            except (OSError, ValueError):
-                pass
+                    lines = f.readlines()
+            except OSError:
+                lines = []
+            for line in lines:
+                try:  # per-line: one foreign/corrupt row must neither
+                    r = json.loads(line)  # kill recording nor drop the
+                    rows[str(r["metric"])] = r  # valid rows after it
+                except (ValueError, KeyError, TypeError):
+                    continue
             for r in extras:
                 rows[r["metric"]] = r
             with open(out, "w") as f:

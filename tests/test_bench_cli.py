@@ -268,8 +268,14 @@ def test_bench_unreachable_chip_exits_with_sentinel(capsys, monkeypatch):
     monkeypatch.setattr(bench, "bench_batch",
                         lambda *a, **k: (_ for _ in ()).throw(
                             AssertionError("ladder must not run")))
+    # selfcheck is an in-process chip touch too: must stay behind the
+    # health gate
+    monkeypatch.setattr(bench, "selfcheck",
+                        lambda: (_ for _ in ()).throw(
+                            AssertionError("selfcheck must not run")))
     monkeypatch.setenv("AVION_BENCH_DEADLINE_S", "500")
-    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    monkeypatch.delenv("AVION_BENCH_MAX_WAIT_S", raising=False)
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--selfcheck"])
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()
     rows = [json.loads(l) for l in out if l.startswith("{")]
