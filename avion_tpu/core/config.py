@@ -187,6 +187,14 @@ class DataConfig:
     batch_size: int = 256
     num_workers: int = 8
     prefetch_depth: int = 2
+    # data echoing (arXiv:1907.05550): step on each decoded batch this
+    # many times consecutively.  The repeats reuse the ON-DEVICE arrays
+    # (zero extra decode and zero extra H2D), multiplying the duty
+    # cycle on decode-bound hosts at the cost of correlated consecutive
+    # steps; epochs run echo_factor x the batch count and the LR
+    # schedule accounts for it.  Mid-epoch preemption resume rounds
+    # down to the nearest batch boundary.
+    echo_factor: int = 1
     repeated_aug: int = 1
     # classification-train augmentation (videomae_finetune /
     # finetune_cls): host RandAugment + cube-mode random erasing

@@ -269,6 +269,25 @@ class DataLoader:
             self._pool = None
 
 
+def echo_batches(it: Iterator[Any], factor: int) -> Iterator[Any]:
+    """Data echoing (arXiv:1907.05550): yield each upstream batch
+    ``factor`` times consecutively.
+
+    Applied AFTER ``device_prefetch`` the repeats are the same
+    on-device arrays — no extra decode, no extra H2D — so a
+    decode-bound host multiplies its duty cycle by up to ``factor``
+    (step RNG still folds in ``state.step``, so dropout/mask draws
+    differ across repeats; the negatives within a contrastive batch do
+    repeat, which is the technique's documented trade).  The reference
+    has no equivalent lever."""
+    if factor <= 1:
+        yield from it
+        return
+    for b in it:
+        for _ in range(factor):
+            yield b
+
+
 def device_prefetch(
     loader: Iterator[Dict[str, np.ndarray]],
     mesh,

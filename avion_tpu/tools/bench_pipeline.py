@@ -107,7 +107,8 @@ def live_segment(model_name: str = "CLIP_VITB16", batch: int = 64,
                  steps: int = 10, workers: int | None = None,
                  clip_length: int = 4, crop_size: int = 224,
                  ds=None, root=None, videos: int = 8,
-                 replay: bool = False, probe_decode: bool = True) -> dict:
+                 replay: bool = False, probe_decode: bool = True,
+                 echo: int = 1) -> dict:
     """One live decode-while-stepping run: worker processes decode H.264
     concurrently with the jitted train step; duty cycle is measured, not
     projected.  Returns a dict of measured fields; prints only to
@@ -173,6 +174,12 @@ def live_segment(model_name: str = "CLIP_VITB16", batch: int = 64,
     # worker processes into the benches that follow
     try:
         it = device_prefetch(iter(loader), mesh, depth=2)
+        if echo > 1:
+            # data echoing: repeats reuse the on-device batch, so a
+            # decode-bound host steps echo x per decoded batch
+            from avion_tpu.data.loader import echo_batches
+
+            it = echo_batches(it, echo)
 
         # warmup: compile + fill prefetch queues
         with jax.set_mesh(mesh):
@@ -210,6 +217,8 @@ def live_segment(model_name: str = "CLIP_VITB16", batch: int = 64,
         "host_cores": os.cpu_count(),
         "loss": round(loss, 4),
     }
+    if echo > 1:
+        result["echo_factor"] = echo
     if decode_cps_core is not None:
         result["decode_clips_per_sec_per_core"] = round(decode_cps_core, 2)
     _log(f"[live] {result['e2e_clips_per_sec']} clips/s e2e at duty "
@@ -282,6 +291,10 @@ def main(argv=None):
                         "packed once into shards under <root>/_shards "
                         "and read back through "
                         "ShardedVideoCaptionDataset")
+    p.add_argument("--echo", type=int, default=1,
+                   help="data echoing factor: step on each decoded "
+                        "batch N times (on-device reuse; "
+                        "data.echo_factor in training)")
     p.add_argument("--replay", action="store_true",
                    help="after the live run, re-run the step loop fed "
                         "from a pool of pre-decoded batches — measures "
@@ -316,7 +329,7 @@ def main(argv=None):
         model_name=args.model, batch=args.batch, steps=args.steps,
         workers=args.workers, clip_length=args.clip_length,
         crop_size=args.crop_size, ds=ds, root=args.root,
-        videos=args.videos, replay=args.replay)
+        videos=args.videos, replay=args.replay, echo=args.echo)
 
     # projection: with C cores decoding, host supply = C * per-core rate;
     # duty cycle ~= min(1, supply / step-rate-demand)
@@ -339,6 +352,8 @@ def main(argv=None):
             str(args.host_cores): round(projected, 4)},
         "loss": seg["loss"],
     }
+    if "echo_factor" in seg:
+        result["echo_factor"] = seg["echo_factor"]
     if "replay_pre_decoded" in seg:
         result["replay_pre_decoded"] = seg["replay_pre_decoded"]
     print(json.dumps(result))

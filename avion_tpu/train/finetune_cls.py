@@ -135,7 +135,9 @@ def main(argv=None):
     train_loader = DataLoader(train_ds, d.batch_size, shuffle=True,
                               drop_last=True, num_workers=d.num_workers,
                               seed=cfg.seed)
-    niter = max(1, len(train_loader))
+    # steps/epoch includes data-echo repeats (LR schedule spans
+    # the true step count)
+    niter = max(1, len(train_loader)) * max(1, cfg.data.echo_factor)
     tx, _ = build_optimizer(cfg.optim, params, niter,
                             num_layers=cfg.model.vision_layers)
 

@@ -107,16 +107,20 @@ def train_one_epoch(
     # batches of this epoch consumed before this process started (a
     # prior preemption); the loop counter i is relative to THIS process,
     # so a second preemption must checkpoint skipped + i
+    echo = max(1, getattr(cfg.data, "echo_factor", 1))
     skipped = 0
     if run.start_batch and epoch == run.start_epoch \
             and hasattr(loader, "skip_batches"):
         # mid-epoch preemption resume: continue at the next batch of the
         # (deterministically re-seeded) epoch permutation instead of
-        # replaying the whole epoch
-        skipped = run.start_batch
-        loader.skip_batches = skipped
+        # replaying the whole epoch.  With data echoing the loader skip
+        # rounds DOWN to the batch boundary (a partial echo group is
+        # re-stepped; counters stay step-consistent).
+        skipped = (run.start_batch // echo) * echo
+        loader.skip_batches = skipped // echo
         run.start_batch = 0
-        print(f"[resume] skipping {skipped} consumed batches")
+        print(f"[resume] skipping {skipped} consumed steps "
+              f"({loader.skip_batches} batches)")
 
     transform = extra_batch_fn
     if run.batch_dim == 1:
@@ -139,6 +143,10 @@ def train_one_epoch(
     it = iter(device_prefetch(loader, run.mesh, depth=2,
                               transform=transform,
                               batch_dim=run.batch_dim))
+    if echo > 1:
+        from avion_tpu.data.loader import echo_batches
+
+        it = echo_batches(it, echo)
     last_metrics: Dict[str, float] = {}
     # device-side running sums: the epoch summary averages EVERY step
     # (not the every-print_freq subsample the meters show) at zero sync

@@ -167,7 +167,9 @@ def main(argv=None):
     setup_host(cfg.seed)
 
     train_ds, train_loader = build_loaders(cfg)
-    niter = max(1, len(train_loader))
+    # steps/epoch includes data-echo repeats (LR schedule spans
+    # the true step count)
+    niter = max(1, len(train_loader)) * max(1, cfg.data.echo_factor)
     model, params, tx = build_model_and_state(cfg, niter)
     if cfg.optim.update_freq > 1 and cfg.optim.accum == "cached":
         from avion_tpu.train.steps import make_clip_accum_train_step

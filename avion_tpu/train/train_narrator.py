@@ -106,7 +106,9 @@ def main(argv=None):
     train_loader = DataLoader(train_ds, d.batch_size, shuffle=True,
                               drop_last=True, num_workers=d.num_workers,
                               seed=cfg.seed)
-    niter = max(1, len(train_loader))
+    # steps/epoch includes data-echo repeats (LR schedule spans
+    # the true step count)
+    niter = max(1, len(train_loader)) * max(1, cfg.data.echo_factor)
 
     rng = jax.random.PRNGKey(cfg.seed)
     video = jnp.zeros((2, d.clip_length, model.image_size, model.image_size,

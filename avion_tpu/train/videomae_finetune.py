@@ -112,7 +112,9 @@ def main(argv=None):
     train_loader = DataLoader(train_ds, d.batch_size, shuffle=True,
                               drop_last=True, num_workers=d.num_workers,
                               seed=cfg.seed)
-    niter = max(1, len(train_loader))
+    # steps/epoch includes data-echo repeats (LR schedule spans
+    # the true step count)
+    niter = max(1, len(train_loader)) * max(1, cfg.data.echo_factor)
 
     # LR x global_batch / 256 (main_videomae_finetune.py:285-288)
     from avion_tpu.optim.factory import apply_batch_lr_scale

@@ -451,3 +451,16 @@ def test_device_prefetch_early_close_runs_source_cleanup(mesh_dp):
     while not closed and _time.time() < deadline:
         _time.sleep(0.05)
     assert closed
+
+
+def test_echo_batches_repeats_and_passthrough():
+    from avion_tpu.data.loader import echo_batches
+
+    src = [{"x": i} for i in range(3)]
+    assert list(echo_batches(iter(src), 1)) == src
+    out = list(echo_batches(iter(src), 3))
+    assert len(out) == 9
+    # each batch repeats consecutively and is the SAME object (the
+    # on-device array reuse the technique depends on)
+    for i, b in enumerate(src):
+        assert all(out[3 * i + k] is b for k in range(3))

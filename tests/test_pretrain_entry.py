@@ -344,3 +344,26 @@ def test_pretrain_entry_aux_metadata(tiny_ego4d, tmp_path, capsys):
     assert "auxiliary dataset [0]" in capsys.readouterr().out
     logs = [json.loads(l) for l in open(osp.join(out, "log.jsonl"))]
     assert any("train/loss" in l for l in logs)
+
+
+def test_pretrain_entry_data_echoing(tiny_ego4d, tmp_path):
+    """data.echo_factor=2: each decoded batch is stepped twice (epoch
+    step count doubles; the LR schedule spans the true count)."""
+    root, meta = tiny_ego4d
+    out = str(tmp_path / "echo_run")
+    from avion_tpu.train.pretrain_clip import main
+
+    main([
+        "model.name=CLIP_TINY", "model.use_flash_attn=false",
+        f"data.root={root}", f"data.train_metadata={meta}",
+        f"data.chunk_len={CHUNK}", f"data.fps={FPS}",
+        "data.clip_length=2", "data.crop_size=32", "data.batch_size=8",
+        "data.num_workers=0", "data.echo_factor=2", "optim.epochs=2",
+        "optim.lr=1e-3", "optim.warmup_epochs=0", f"output_dir={out}",
+        "eval_freq=0", "print_freq=1", "mesh.data=4", "mesh.fsdp=2",
+    ])
+    logs = [json.loads(l) for l in open(osp.join(out, "log.jsonl"))]
+    steps = [l["step"] for l in logs if "train/loss" in l]
+    # 8 samples / batch 8 = 1 decoded batch/epoch, echoed to 2 steps;
+    # 2 epochs -> 4 total steps
+    assert max(steps) == 4
