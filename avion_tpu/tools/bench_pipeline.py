@@ -108,7 +108,7 @@ def live_segment(model_name: str = "CLIP_VITB16", batch: int = 64,
                  clip_length: int = 4, crop_size: int = 224,
                  ds=None, root=None, videos: int = 8,
                  replay: bool = False, probe_decode: bool = True,
-                 echo: int = 1) -> dict:
+                 echo: int = 1, echo_also: int = 0) -> dict:
     """One live decode-while-stepping run: worker processes decode H.264
     concurrently with the jitted train step; duty cycle is measured, not
     projected.  Returns a dict of measured fields; prints only to
@@ -269,6 +269,50 @@ def live_segment(model_name: str = "CLIP_VITB16", batch: int = 64,
         _log(f"[replay] pre-decoded feed: "
              f"{result['replay_pre_decoded']['clips_per_sec']} clips/s at "
              f"duty cycle {result['replay_pre_decoded']['duty_cycle']}")
+
+    if echo_also > 1:
+        # the data-echoing lever (data.echo_factor, arXiv:1907.05550)
+        # measured live: same compiled step, fresh decode workers, each
+        # decoded batch stepped echo_also times on-device
+        e_steps = steps * echo_also
+        e_loader = DataLoader(ds, batch, shuffle=True, drop_last=True,
+                              num_workers=workers, prefetch_depth=4,
+                              infinite=True)
+        try:
+            from avion_tpu.data.loader import echo_batches
+
+            eit = echo_batches(
+                device_prefetch(iter(e_loader), mesh, depth=2), echo_also)
+            with jax.set_mesh(mesh):
+                state, m = step(state, next(eit), rng)
+                float(m["loss"])
+                etimer = StepTimer()
+                n = 0
+                marked = 0
+                et0 = time.perf_counter()
+                while n < e_steps:
+                    t_fetch = time.perf_counter()
+                    batch_data = next(eit)
+                    etimer.data_time.update(time.perf_counter() - t_fetch)
+                    state, m = step(state, batch_data, rng)
+                    n += 1
+                    if n % (5 * echo_also) == 0 or n == e_steps:
+                        float(m["loss"])
+                        etimer.mark_window(n - marked)
+                        marked = n
+                ewall = time.perf_counter() - et0
+        finally:
+            e_loader.close()
+        estats = etimer.stats()
+        result["echoed"] = {
+            "echo_factor": echo_also,
+            "clips_per_sec": round(batch * e_steps / ewall, 2),
+            "duty_cycle": round(estats.get("duty_cycle", 0.0), 4),
+            "data_time_s": round(estats.get("data_time", 0.0), 4),
+            "step_time_s": round(estats.get("step_time", 0.0), 4),
+        }
+        _log(f"[echo x{echo_also}] {result['echoed']['clips_per_sec']} "
+             f"clips/s at duty cycle {result['echoed']['duty_cycle']}")
     return result
 
 
@@ -295,6 +339,10 @@ def main(argv=None):
                    help="data echoing factor: step on each decoded "
                         "batch N times (on-device reuse; "
                         "data.echo_factor in training)")
+    p.add_argument("--echo-also", type=int, default=0,
+                   help="after the live run, re-run the step loop with "
+                        "data echoing at this factor (same compiled "
+                        "step) and report an 'echoed' sub-record")
     p.add_argument("--replay", action="store_true",
                    help="after the live run, re-run the step loop fed "
                         "from a pool of pre-decoded batches — measures "
@@ -329,7 +377,8 @@ def main(argv=None):
         model_name=args.model, batch=args.batch, steps=args.steps,
         workers=args.workers, clip_length=args.clip_length,
         crop_size=args.crop_size, ds=ds, root=args.root,
-        videos=args.videos, replay=args.replay, echo=args.echo)
+        videos=args.videos, replay=args.replay, echo=args.echo,
+        echo_also=args.echo_also)
 
     # projection: with C cores decoding, host supply = C * per-core rate;
     # duty cycle ~= min(1, supply / step-rate-demand)
@@ -354,6 +403,8 @@ def main(argv=None):
     }
     if "echo_factor" in seg:
         result["echo_factor"] = seg["echo_factor"]
+    if "echoed" in seg:
+        result["echoed"] = seg["echoed"]
     if "replay_pre_decoded" in seg:
         result["replay_pre_decoded"] = seg["replay_pre_decoded"]
     print(json.dumps(result))

@@ -400,7 +400,7 @@ def main():
         live_root = os.path.join(tempfile.gettempdir(), "avion_bench_pipe")
         cmd = [sys.executable, "-m", "avion_tpu.tools.bench_pipeline",
                "--model", model_name, "--batch", "64", "--steps", "10",
-               "--replay", "--root", live_root]
+               "--replay", "--echo-also", "8", "--root", live_root]
         for attempt in range(3):
             if remaining() < 180:
                 print("live duty: budget exhausted, skipping further "
@@ -440,6 +440,12 @@ def main():
             if "replay_pre_decoded" in live:
                 result["replay_duty_cycle"] = (
                     live["replay_pre_decoded"]["duty_cycle"])
+            if "echoed" in live:
+                # data-echoing lever measured live (data.echo_factor)
+                result["echo_duty_cycle"] = live["echoed"]["duty_cycle"]
+                result["echo_clips_per_sec"] = (
+                    live["echoed"]["clips_per_sec"])
+                result["echo_factor"] = live["echoed"]["echo_factor"]
             # enriched line supersedes the flagship-only one
             print(json.dumps(result), flush=True)
         else:

@@ -45,6 +45,9 @@ def test_bench_main_contract(capsys, monkeypatch, tmp_path):
         "duty_cycle": 0.105, "data_time_s": 2.713, "step_time_s": 0.319,
         "decode_clips_per_sec_per_core": 23.1, "host_cores": 1,
         "live_batch": 64, "loss": 4.1,
+        "echoed": {"echo_factor": 8, "clips_per_sec": 178.3,
+                   "duty_cycle": 0.9999, "data_time_s": 0.0,
+                   "step_time_s": 0.36},
         "replay_pre_decoded": {"clips_per_sec": 180.0, "duty_cycle": 0.91,
                                "data_time_s": 0.1, "step_time_s": 1.0}})
 
@@ -56,6 +59,7 @@ def test_bench_main_contract(capsys, monkeypatch, tmp_path):
     def fake_run(cmd, capture_output=True, timeout=None):
         assert any("bench_pipeline" in str(c) for c in cmd)
         assert "--replay" in cmd
+        assert "--echo-also" in cmd
         return _FakeCompleted()
 
     monkeypatch.setattr(bench.subprocess, "run", fake_run)
@@ -79,6 +83,9 @@ def test_bench_main_contract(capsys, monkeypatch, tmp_path):
     assert row["e2e_clips_per_sec"] == 21.0
     assert row["data_stall_ms"] == 2713.0
     assert row["replay_duty_cycle"] == 0.91
+    assert row["echo_duty_cycle"] == 0.9999
+    assert row["echo_clips_per_sec"] == 178.3
+    assert row["echo_factor"] == 8
     # secondary rows (videomae + vitl) land in BENCH_EXTRA, not stdout
     extra_rows = [json.loads(line)
                   for line in extra_path.read_text().splitlines()]
