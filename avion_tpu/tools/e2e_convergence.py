@@ -1200,6 +1200,8 @@ def main(argv=None):
            "classes": args.classes, "windows_per_class": args.windows,
            "batch": args.batch, "epochs": args.epochs, "lr": args.lr,
            "workers": args.workers, "preempt_step": args.preempt_step}
+    if args.extra:  # entry overrides are part of the recorded recipe
+        cfg["extra"] = list(args.extra)
     report = {"clip": write_report, "videomae": write_report_mae,
               "cls": write_report_cls, "mir": write_report_mir,
               "nlq": write_report_nlq}[args.family]
