@@ -275,11 +275,15 @@ def echo_batches(it: Iterator[Any], factor: int) -> Iterator[Any]:
 
     Applied AFTER ``device_prefetch`` the repeats are the same
     on-device arrays — no extra decode, no extra H2D — so a
-    decode-bound host multiplies its duty cycle by up to ``factor``
-    (step RNG still folds in ``state.step``, so dropout/mask draws
-    differ across repeats; the negatives within a contrastive batch do
-    repeat, which is the technique's documented trade).  The reference
-    has no equivalent lever."""
+    decode-bound host multiplies its duty cycle by up to ``factor``.
+    Per-repeat variation comes from state.step-folded step RNG where
+    the step draws on-device randomness: CLIP's patch dropout / model
+    dropout, and VideoMAE's tube mask via
+    ``make_videomae_train_step(regen_mask=True)`` (the videomae entry
+    sets it whenever echoing — a host-shipped mask would repeat).
+    The pixels and contrastive negatives within a batch do repeat,
+    which is the technique's documented trade.  The reference has no
+    equivalent lever."""
     if factor <= 1:
         yield from it
         return

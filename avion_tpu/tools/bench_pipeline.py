@@ -166,6 +166,31 @@ def live_segment(model_name: str = "CLIP_VITB16", batch: int = 64,
     step = jax.jit(make_clip_train_step(model, tx, crop_size=crop_size),
                    donate_argnums=(0,))
 
+    from avion_tpu.data.loader import echo_batches
+
+    def timed_loop(it, n_steps, state, mark_every=5):
+        """The one fetch -> step -> window loop shared by the live,
+        replay and echoed segments: per-step data waits, a single host
+        sync per window (mark_window attribution), wall clock.
+        Returns (state, stats, wall_s, last_loss)."""
+        timer = StepTimer()
+        n = 0
+        marked = 0
+        loss = float("nan")
+        t0 = time.perf_counter()
+        while n < n_steps:
+            t_fetch = time.perf_counter()
+            batch_data = next(it)
+            timer.data_time.update(time.perf_counter() - t_fetch)
+            state, m = step(state, batch_data, rng)
+            n += 1
+            if n % mark_every == 0 or n == n_steps:
+                loss = float(m["loss"])  # forces the chain
+                timer.mark_window(n - marked)
+                marked = n
+        wall = time.perf_counter() - t0
+        return state, timer.stats(), wall, loss
+
     loader = DataLoader(ds, batch, shuffle=True, drop_last=True,
                         num_workers=workers, prefetch_depth=4,
                         infinite=True)
@@ -177,8 +202,6 @@ def live_segment(model_name: str = "CLIP_VITB16", batch: int = 64,
         if echo > 1:
             # data echoing: repeats reuse the on-device batch, so a
             # decode-bound host steps echo x per decoded batch
-            from avion_tpu.data.loader import echo_batches
-
             it = echo_batches(it, echo)
 
         # warmup: compile + fill prefetch queues
@@ -186,27 +209,10 @@ def live_segment(model_name: str = "CLIP_VITB16", batch: int = 64,
             for _ in range(2):
                 state, m = step(state, next(it), rng)
             float(m["loss"])
-
-            timer = StepTimer()
-            n = 0
-            marked = 0
-            t_start = time.perf_counter()
-            while n < steps:
-                t_fetch = time.perf_counter()
-                batch_data = next(it)
-                timer.data_time.update(time.perf_counter() - t_fetch)
-                state, m = step(state, batch_data, rng)
-                n += 1
-                if n % 5 == 0 or n == steps:
-                    float(m["loss"])  # force the chain to the device
-                    timer.mark_window(n - marked)
-                    marked = n
-            loss = float(m["loss"])
-            wall = time.perf_counter() - t_start
+            state, stats, wall, loss = timed_loop(it, steps, state)
     finally:
         loader.close()
 
-    stats = timer.stats()
     result = {
         "e2e_clips_per_sec": round(batch * steps / wall, 2),
         "duty_cycle": round(stats.get("duty_cycle", 0.0), 4),
@@ -242,24 +248,10 @@ def live_segment(model_name: str = "CLIP_VITB16", batch: int = 64,
             pool_loader.close()  # pool decoded; workers no longer needed
         rit = device_prefetch(itertools.cycle(pool), mesh, depth=2)
         with jax.set_mesh(mesh):
+            # warmup first: windows time the loop only
             state, m = step(state, next(rit), rng)
             float(m["loss"])
-            rtimer = StepTimer()  # AFTER warmup: windows time the loop only
-            n = 0
-            marked = 0
-            rt0 = time.perf_counter()
-            while n < steps:
-                t_fetch = time.perf_counter()
-                batch_data = next(rit)
-                rtimer.data_time.update(time.perf_counter() - t_fetch)
-                state, m = step(state, batch_data, rng)
-                n += 1
-                if n % 5 == 0 or n == steps:
-                    float(m["loss"])
-                    rtimer.mark_window(n - marked)
-                    marked = n
-            rwall = time.perf_counter() - rt0
-        rstats = rtimer.stats()
+            state, rstats, rwall, _ = timed_loop(rit, steps, state)
         result["replay_pre_decoded"] = {
             "clips_per_sec": round(batch * steps / rwall, 2),
             "duty_cycle": round(rstats.get("duty_cycle", 0.0), 4),
@@ -279,31 +271,15 @@ def live_segment(model_name: str = "CLIP_VITB16", batch: int = 64,
                               num_workers=workers, prefetch_depth=4,
                               infinite=True)
         try:
-            from avion_tpu.data.loader import echo_batches
-
             eit = echo_batches(
                 device_prefetch(iter(e_loader), mesh, depth=2), echo_also)
             with jax.set_mesh(mesh):
                 state, m = step(state, next(eit), rng)
                 float(m["loss"])
-                etimer = StepTimer()
-                n = 0
-                marked = 0
-                et0 = time.perf_counter()
-                while n < e_steps:
-                    t_fetch = time.perf_counter()
-                    batch_data = next(eit)
-                    etimer.data_time.update(time.perf_counter() - t_fetch)
-                    state, m = step(state, batch_data, rng)
-                    n += 1
-                    if n % (5 * echo_also) == 0 or n == e_steps:
-                        float(m["loss"])
-                        etimer.mark_window(n - marked)
-                        marked = n
-                ewall = time.perf_counter() - et0
+                state, estats, ewall, _ = timed_loop(
+                    eit, e_steps, state, mark_every=5 * echo_also)
         finally:
             e_loader.close()
-        estats = etimer.stats()
         result["echoed"] = {
             "echo_factor": echo_also,
             "clips_per_sec": round(batch * e_steps / ewall, 2),

@@ -91,7 +91,9 @@ def train_one_epoch(
         "loss": AverageMeter("loss", ":.4f"),
     }
     timer = StepTimer()
-    n_batches = niter_override or (len(loader) if hasattr(loader, "__len__") else 0)
+    _echo_disp = max(1, getattr(cfg.data, "echo_factor", 1))
+    n_batches = niter_override or (
+        len(loader) * _echo_disp if hasattr(loader, "__len__") else 0)
     progress = ProgressMeter(
         n_batches,
         [timer.batch_time, timer.data_time, meters["loss"]],
@@ -162,11 +164,15 @@ def train_one_epoch(
                 break
             timer.data_time.update(_time.perf_counter() - t_fetch)
             i += 1
-            if preempted():
+            if preempted() and (skipped + i) % echo == 0:
                 # SIGTERM from the scheduler: checkpoint mid-epoch and
                 # stop; auto-resume picks up at the next absolute batch
                 # of this epoch (submitit-requeue elasticity,
-                # run_with_submit_lavila_pretrain.py:53-59)
+                # run_with_submit_lavila_pretrain.py:53-59).  Under
+                # data echoing the save waits for the echo-GROUP
+                # boundary (at most echo-1 extra sub-second steps), so
+                # the restored optimizer step count matches the resume
+                # point exactly — no LR-schedule drift.
                 save_epoch(run, epoch - 1, batch_in_epoch=skipped + i)
                 run.ckpt.wait()
                 break

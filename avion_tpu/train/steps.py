@@ -412,8 +412,15 @@ def make_cls_train_step(
 
 def make_videomae_train_step(
     model, tx, patch_size: int = 16, tubelet_size: int = 2,
-    normalize_target: bool = True,
+    normalize_target: bool = True, regen_mask: bool = False,
 ) -> Callable:
+    """``regen_mask``: draw the tube mask ON-DEVICE from the
+    step-folded rng instead of using the host batch's mask — under
+    data echoing (``data.echo_factor``) the host mask ships once per
+    decoded batch, so repeats would otherwise reconstruct the SAME
+    masked tokens; per-step regeneration restores the independent-mask
+    regime (same shapes: the tube count is deterministic)."""
+
     def step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
 
@@ -421,8 +428,17 @@ def make_videomae_train_step(
             from avion_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
 
             video = prep_video(batch["video"], IMAGENET_MEAN, IMAGENET_STD)
+            mask = batch["mask"]
+            if regen_mask:
+                from avion_tpu.data.transforms import tube_mask_device
+
+                b, t, h, w, _ = video.shape
+                mask = tube_mask_device(
+                    jax.random.fold_in(rng, 1), b,
+                    t // tubelet_size, h // patch_size, w // patch_size,
+                    model.mask_ratio)
             pred, masked_idx = model.apply(
-                {"params": params}, video, batch["mask"], False,
+                {"params": params}, video, mask, False,
                 rngs={"dropout": rng},
             )
             d = videomae_loss(pred, video, masked_idx, patch_size,

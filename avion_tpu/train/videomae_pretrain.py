@@ -92,6 +92,8 @@ def main(argv=None):
     step_fn = make_videomae_train_step(
         model, tx, patch_size=cfg.model.patch_size,
         tubelet_size=cfg.model.tubelet_size,
+        # echoed repeats must not reuse the host batch's tube mask
+        regen_mask=cfg.data.echo_factor > 1,
     )
     run = setup_run(cfg, params, tx, step_fn)
 

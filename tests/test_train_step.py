@@ -70,3 +70,43 @@ def test_nan_guard_skips_step(tiny_setup, mesh8):
     after = jax.device_get(state.params["visual"]["conv1"]["kernel"])
     assert float(metrics["step_ok"]) == 0.0
     np.testing.assert_array_equal(before, after)
+
+
+def test_videomae_regen_mask_varies_per_step():
+    """regen_mask=True draws the tube mask on-device from the
+    step-folded rng (independent masks across data-echoing repeats);
+    False reuses the host batch mask (identical loss at fixed
+    params)."""
+    from avion_tpu.data.transforms import tube_mask_batch
+    from avion_tpu.models.videomae import PretrainVideoMAE
+    from avion_tpu.train.steps import make_videomae_train_step
+
+    model = PretrainVideoMAE(
+        image_size=32, patch_size=16, num_frames=4, tubelet_size=2,
+        encoder_width=32, encoder_layers=1, encoder_heads=2,
+        decoder_width=16, decoder_layers=1, decoder_heads=2,
+        mask_ratio=0.5, use_flash=False, dtype=jnp.float32)
+    rs = np.random.RandomState(0)
+    mask = tube_mask_batch(rs, 2, 2, 2, 2, 0.5)
+    video = rs.rand(2, 4, 32, 32, 3).astype(np.float32)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((2, 4, 32, 32, 3)),
+                        jnp.asarray(mask))["params"]
+    cfg = OptimConfig(optimizer="adamw", lr=1e-3, warmup_epochs=0,
+                      epochs=1)
+    tx, _ = build_optimizer(cfg, params, niter_per_ep=10)
+    batch = {"video": jnp.asarray(video), "mask": jnp.asarray(mask)}
+
+    def loss_at_step(regen, step_no):
+        state = TrainState.create(params, tx).replace(
+            step=jnp.asarray(step_no, jnp.int32))
+        step_fn = make_videomae_train_step(model, tx, patch_size=16,
+                                           tubelet_size=2,
+                                           regen_mask=regen)
+        _, m = step_fn(state, batch, rng)
+        return float(m["loss"])
+
+    # host mask: identical loss regardless of the optimizer step
+    assert loss_at_step(False, 0) == loss_at_step(False, 1)
+    # regenerated mask: the step-folded rng draws a different mask
+    assert loss_at_step(True, 0) != loss_at_step(True, 1)
