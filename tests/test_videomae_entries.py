@@ -93,3 +93,29 @@ def test_videomae_finetune_entry(tiny_k400, tmp_path):
     logs = [json.loads(l) for l in open(osp.join(out, "log.jsonl"))]
     assert any("train/loss" in l for l in logs)
     assert any("acc1" in l for l in logs)
+
+
+def test_videomae_pretrain_entry_echoed(tiny_k400, tmp_path):
+    """data.echo_factor=2 on the MAE entry: regen_mask kicks in (tube
+    masks drawn on-device per step so echoed repeats reconstruct
+    different tokens) and the epoch runs 2x the decoded batches."""
+    root, train_list = tiny_k400
+    out = str(tmp_path / "mae_echo")
+    from avion_tpu.train.videomae_pretrain import main
+
+    main([
+        "model.name=VIDEOMAE_TINY", "model.use_flash_attn=false",
+        "model.tubelet_size=2", f"data.root={root}",
+        f"data.train_metadata={train_list}", "data.clip_length=4",
+        "data.clip_stride=2", "data.mask_ratio=0.5",
+        "data.batch_size=8", "data.num_workers=0",
+        "data.echo_factor=2", "optim.epochs=1", "optim.lr=1e-3",
+        "optim.warmup_epochs=0", f"output_dir={out}", "print_freq=1",
+        "mesh.data=8",
+    ])
+    logs = [json.loads(l) for l in open(osp.join(out, "log.jsonl"))]
+    rows = [l for l in logs if "train/loss" in l]
+    assert np.isfinite([r["train/loss"] for r in rows]).all()
+    # echoed repeats see different on-device masks: consecutive losses
+    # at identical pixels still differ
+    assert len({round(r["train/loss"], 6) for r in rows}) > 1
